@@ -1,0 +1,23 @@
+"""Test-session configuration.
+
+Must run before `jax` is imported anywhere: force the CPU backend with 8 virtual
+devices (the TPU analogue of a fake multi-chip backend, per SURVEY.md §4) and
+enable float64 so parity tests against the direct-solver reference implementation
+can hold compliance to rtol <= 1e-6.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests never touch the real TPU tunnel
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# A site hook pins jax_platforms to "axon,cpu" regardless of the env var;
+# override it so tests run on the 8 virtual CPU devices, never the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

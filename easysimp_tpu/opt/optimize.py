@@ -1,0 +1,382 @@
+"""The SIMP optimization driver.
+
+TPU-native re-architecture of `simp_optimize`
+(src/Optimization/Optimization.jl:178-565).  The per-iteration pipeline —
+density filter -> matrix-free solve (PCG, replacing the CHOLMOD
+refactorization at Optimization.jl:317) -> compliance -> sensitivities ->
+filter -> OC bisection -> convergence metric — is ONE jit-compiled function;
+the Python loop around it only moves scalars for logging, convergence checks,
+and optional VTU exports, exactly the side effects the reference performs
+per iteration.
+
+Iteration semantics match the reference:
+  * initial design = fill(volume_fraction)             (Optimization.jl:222)
+  * energy logged for the PRE-update design             (:317-324)
+  * change = max|new_design - old_design| in DESIGN space (:374)
+  * convergence break AFTER logging/exports             (:484-488)
+  * final analysis: re-filter, re-solve, stress recovery (:494-539)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bcs import build_free_mask
+from ..config import default_dtype
+from ..grids import VoxelGrid
+from ..loads import build_load_field, voxel_body_force
+from ..ops.cg import cg_solve
+from ..ops.filters import create_filter_cache
+from ..ops.oc import oc_update, sensitivity_health
+from ..ops.operator import VoxelOperator
+from ..params import OptimizationParameters, OptimizationResult
+from ..utils.terminal import (
+    print_data,
+    print_info,
+    print_success,
+    print_warning,
+)
+
+__all__ = ["simp_optimize"]
+
+
+def _resolve_dtype(params: OptimizationParameters):
+    if params.dtype == "auto":
+        return default_dtype()
+    return jnp.dtype(params.dtype)
+
+
+def _build_preconditioner(op, params, scale_diag_fn):
+    """Returns precond_factory(scale, free_mask) -> M(r).
+
+    'auto' resolves to multigrid for voxel grids when a hierarchy exists,
+    else Jacobi (see ops/multigrid.py)."""
+    choice = params.preconditioner
+    if choice in ("auto", "multigrid") and isinstance(op, VoxelOperator):
+        try:
+            from ..ops.multigrid import MultigridPreconditioner
+
+            mg = MultigridPreconditioner(
+                op,
+                levels=params.mg_levels,
+                smooth_iters=params.mg_smooth_iters,
+            )
+            if mg.n_levels > 1:
+                return mg.preconditioner_factory()
+            if choice == "multigrid":
+                print_warning(
+                    "multigrid requested but grid has no coarsenable levels; "
+                    "falling back to Jacobi"
+                )
+        except ImportError:
+            if choice == "multigrid":
+                raise
+    if choice == "none":
+        return lambda scale, mask: (lambda r: r)
+
+    def jacobi_factory(scale, mask):
+        diag = scale_diag_fn(scale, mask)
+        return lambda r: r / diag
+
+    return jacobi_factory
+
+
+def simp_optimize(grid, loads, boundary_conditions, params: OptimizationParameters,
+                  acceleration_data=None) -> OptimizationResult:
+    """Run SIMP topology optimization.
+
+    Args:
+      grid: VoxelGrid (structured path) or UnstructuredMesh.
+      loads: list of PointLoad / SurfaceTractionLoad.
+      boundary_conditions: list of DirichletBC.
+      params: OptimizationParameters.
+      acceleration_data: optional (acceleration_vector, base_density) for
+        variable-density body forces (Optimization.jl:195-198, 301-311).
+    """
+    if not isinstance(grid, VoxelGrid):
+        from .optimize_unstructured import simp_optimize_unstructured
+
+        return simp_optimize_unstructured(
+            grid, loads, boundary_conditions, params, acceleration_data
+        )
+
+    print_info("Starting SIMP topology optimization (voxel path)")
+    dtype = _resolve_dtype(params)
+
+    logger = None
+    if params.export_path:
+        from .logger import OptimizationLogger
+
+        logger = OptimizationLogger(params.export_path, params.task_name)
+
+    if acceleration_data is not None:
+        accel_vec, base_density = acceleration_data
+        print_info(f"Variable density acceleration enabled: {accel_vec}")
+
+    # ----- geometry / volumes ------------------------------------------------
+    elem_vol = grid.element_volume
+    total_volume = grid.total_volume
+    print_data(f"Total mesh volume: {total_volume}")
+
+    # ----- operator, filter, masks, loads -------------------------------------
+    op = VoxelOperator(
+        grid, E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p, dtype=dtype
+    )
+    filt = create_filter_cache(grid, params.filter_radius, dtype=dtype)
+    use_density_filter = params.filter_type == "density"
+
+    free_mask = jnp.asarray(build_free_mask(grid, boundary_conditions), dtype=dtype)
+    f_ext = jnp.asarray(build_load_field(grid, loads), dtype=dtype)
+
+    # Volume sensitivities: geometry-only, chain-ruled ONCE for the density
+    # filter (Optimization.jl:241-248).
+    vol_sens_physical = jnp.full(grid.nels, elem_vol / total_volume, dtype=dtype)
+    if use_density_filter:
+        vol_sens = filt.chain_rule(vol_sens_physical)
+    else:
+        vol_sens = vol_sens_physical
+
+    precond_factory = _build_preconditioner(
+        op, params, lambda scale, mask: op.diagonal(scale, mask)
+    )
+
+    # ----- the jitted iteration ------------------------------------------------
+    def step(design, u_prev):
+        phys = filt.density_filter(design) if use_density_filter else design
+        scale = op.youngs_modulus(phys)
+
+        f = f_ext
+        if acceleration_data is not None:
+            f = f + voxel_body_force(
+                phys, accel_vec, base_density, elem_vol, dtype
+            )
+        f_bc = f * free_mask
+
+        A = lambda v: op.apply(v, scale, free_mask)
+        M = precond_factory(scale, free_mask)
+        sol = cg_solve(
+            A, f_bc, x0=u_prev * free_mask, M=M,
+            rtol=params.cg_rtol, maxiter=params.cg_maxiter,
+        )
+        u = sol.u
+        # 0.5 u^T K u without an extra matvec: K u = f - r at the CG exit.
+        energy = 0.5 * (jnp.vdot(u, f_bc) - sol.u_dot_r)
+        volume = jnp.sum(phys) * elem_vol
+
+        sens = op.compliance_sensitivities(u, phys)
+        if use_density_filter:
+            fsens = filt.chain_rule(sens)
+            apply_phys = filt.density_filter
+        else:
+            fsens = filt.sensitivity_filter(design, sens)
+            apply_phys = None
+
+        new_design, lam, bisect_iters = oc_update(
+            design, fsens, vol_sens, params.volume_fraction, total_volume,
+            elem_vol, params.move_limit, params.damping, apply_phys,
+        )
+        change = jnp.max(jnp.abs(new_design - design))
+        grayness = jnp.mean(
+            jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype)
+        )
+        max_disp = jnp.max(jnp.abs(u))
+        frac_neg, med, rng = sensitivity_health(fsens)
+        return (
+            new_design, u, phys, energy, volume, change, lam, grayness,
+            max_disp, sol.iterations, sol.residual_norm, bisect_iters,
+            frac_neg, med, rng,
+        )
+
+    step_jit = jax.jit(step)
+
+    def solve_only(design):
+        """Final analysis solve at given design (tighter work, same path)."""
+        phys = filt.density_filter(design) if use_density_filter else design
+        scale = op.youngs_modulus(phys)
+        f = f_ext
+        if acceleration_data is not None:
+            f = f + voxel_body_force(phys, accel_vec, base_density, elem_vol, dtype)
+        f_bc = f * free_mask
+        A = lambda v: op.apply(v, scale, free_mask)
+        M = precond_factory(scale, free_mask)
+        sol = cg_solve(A, f_bc, x0=jnp.zeros_like(f_bc), M=M,
+                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+        energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
+        return phys, sol.u, energy
+
+    solve_jit = jax.jit(solve_only)
+
+    # ----- initial state --------------------------------------------------------
+    design = jnp.full(grid.nels, params.volume_fraction, dtype=dtype)
+    u = jnp.zeros((*grid.nnodes_per_axis, 3), dtype=dtype)
+
+    energy_history: list[float] = []
+    volume_history: list[float] = []
+    change_history: list[float] = []
+    cg_history: list[int] = []
+    checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
+    if params.tolerance_checkpoints:
+        print_info(f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
+
+    converged = False
+    iteration = 0
+    warned_health = False
+
+    for it in range(1, params.max_iterations + 1):
+        iteration = it
+        (new_design, u, phys, energy, volume, change, lam, grayness,
+         max_disp, cg_iters, cg_res, bisect_iters, frac_neg, med, rng) = step_jit(
+            design, u
+        )
+
+        energy = float(energy)
+        volume = float(volume)
+        change = float(change)
+        vol_frac = volume / total_volume
+        energy_history.append(energy)
+        volume_history.append(volume)
+        change_history.append(change)
+        cg_history.append(int(cg_iters))
+
+        # Sensitivity health warnings (check_sensitivity_health semantics,
+        # OptimalityCriteria.jl:19-40) — warn once, not every iteration.
+        if not warned_health:
+            if float(frac_neg) < 0.5:
+                print_warning(
+                    "Less than 50% of sensitivities are negative. Check if "
+                    "energy sensitivities are computed correctly."
+                )
+                warned_health = True
+            elif float(rng) > 1e8:
+                print_warning(
+                    f"Sensitivity range too large (max/median: {float(rng):.3e})."
+                )
+                warned_health = True
+
+        if logger is not None:
+            logger.log_iteration(
+                it, energy, vol_frac, change, float(lam), float(grayness),
+                float(max_disp),
+            )
+
+        print(
+            f"Iter {it:4d} | Energy: {energy:.4e} | Vol.Frac: {vol_frac:.4f} "
+            f"| Change: {change:.4e} | CG: {int(cg_iters):4d}"
+        )
+
+        # Tolerance checkpoints (Optimization.jl:407-445)
+        if params.tolerance_checkpoints and params.export_path:
+            for idx, cp in enumerate(params.tolerance_checkpoints):
+                if not checkpoint_triggered[idx] and change < cp:
+                    checkpoint_triggered[idx] = True
+                    print_info(
+                        f"Tolerance checkpoint {cp} reached at iteration {it}"
+                    )
+                    _export_intermediate(
+                        grid, op, params, phys, u, energy, volume, it,
+                        energy_history, volume_history,
+                        name=f"final_results_{int(round(cp * 100)):02d}tol",
+                    )
+
+        # Periodic interval export (Optimization.jl:448-477)
+        if (
+            params.export_interval > 0
+            and it % params.export_interval == 0
+            and params.export_path
+        ):
+            _export_intermediate(
+                grid, op, params, phys, u, energy, volume, it,
+                energy_history, volume_history, name=f"iter_{it:04d}",
+            )
+
+        design = new_design
+        if change < params.tolerance:
+            print_success(f"Converged after {it} iterations")
+            converged = True
+            break
+
+    # ----- final analysis (Optimization.jl:494-539) -----------------------------
+    phys, u, final_energy = solve_jit(design)
+    final_energy = float(final_energy)
+    final_volume = float(jnp.sum(phys)) * elem_vol
+
+    from ..stress import voxel_stresses
+
+    stresses = voxel_stresses(
+        grid, u, phys, params.E0, params.Emin, params.nu, params.p
+    )
+    print_data(
+        f"Maximum von Mises stress: {stresses.max_von_mises} "
+        f"at cell {stresses.max_vm_cell}"
+    )
+    # 0.5 * integral(sigma:eps) per cell == 0.5 * E(rho) * u_e^T ke_unit u_e
+    # (PostProcessing.jl:172-197)
+    elem_energies = grid.cells_flat(
+        np.asarray(
+            0.5 * op.youngs_modulus(phys) * op.element_energies_unit(u),
+            dtype=np.float64,
+        )
+    )
+
+    if logger is not None:
+        logger.write_summary(final_energy, final_volume, converged)
+        logger.close()
+
+    print_success("Optimization completed")
+    print_data(f"Final energy: {final_energy}")
+    print_data(f"Final volume fraction: {final_volume / total_volume}")
+
+    phys_np = np.asarray(phys, dtype=np.float64)
+    return OptimizationResult(
+        densities=grid.cells_flat(phys_np),
+        displacements=grid.dofs_flat(np.asarray(u, dtype=np.float64)),
+        stresses=stresses,
+        energy=final_energy,
+        volume=final_volume,
+        iterations=iteration,
+        converged=converged,
+        energy_history=energy_history,
+        volume_history=volume_history,
+        densities_3d=phys_np,
+        cg_iterations_history=cg_history,
+        change_history=change_history,
+        element_energies=elem_energies,
+    )
+
+
+def _export_intermediate(grid, op, params, phys, u, energy, volume, iteration,
+                         energy_history, volume_history, name):
+    """Stress recovery + VTU export for checkpoints/interval dumps."""
+    import os
+
+    from ..post.vtu import create_results_data, export_main_results
+    from ..stress import voxel_stresses
+
+    stresses = voxel_stresses(
+        grid, u, phys, params.E0, params.Emin, params.nu, params.p
+    )
+    elem_energies = grid.cells_flat(
+        np.asarray(
+            0.5 * op.youngs_modulus(phys) * op.element_energies_unit(u),
+            dtype=np.float64,
+        )
+    )
+    phys_np = np.asarray(phys, dtype=np.float64)
+    interim = OptimizationResult(
+        densities=grid.cells_flat(phys_np),
+        displacements=grid.dofs_flat(np.asarray(u, dtype=np.float64)),
+        stresses=stresses,
+        energy=float(energy),
+        volume=float(volume),
+        iterations=iteration,
+        converged=False,
+        energy_history=list(energy_history),
+        volume_history=list(volume_history),
+        densities_3d=phys_np,
+        element_energies=elem_energies,
+    )
+    data = create_results_data(grid, interim)
+    export_main_results(data, os.path.join(params.export_path, name))
+    print_success(f"Exported: {name}.vtu")

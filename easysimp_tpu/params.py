@@ -1,0 +1,86 @@
+"""Optimization parameters and result containers.
+
+Field-for-field parity with the reference's `OptimizationParameters` and
+`OptimizationResult` (src/Optimization/Optimization.jl:53-155), plus the
+TPU-specific solver knobs (dtype, CG tolerance, preconditioner choice) that
+replace the implicit CHOLMOD configuration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["OptimizationParameters", "OptimizationResult"]
+
+
+@dataclass
+class OptimizationParameters:
+    """SIMP optimization parameters (defaults match Optimization.jl:86-103)."""
+
+    # Material
+    E0: float = 1.0
+    Emin: float = 1e-9
+    nu: float = 0.3
+    p: float = 3.0
+
+    # Optimization
+    volume_fraction: float = 0.5
+    max_iterations: int = 200
+    tolerance: float = 0.01
+
+    # Filter
+    filter_radius: float = 1.5          # x characteristic element size
+    filter_type: str = "sensitivity"    # "sensitivity" | "density"
+
+    # OC
+    move_limit: float = 0.2
+    damping: float = 0.5
+
+    # Performance (reference: element-cache toggle; here: solver config)
+    use_cache: bool = True              # kept for API parity; always cached
+
+    # Intermediate export
+    export_interval: int = 0
+    export_path: str = ""
+    task_name: str = "SIMP_Optimization"
+    tolerance_checkpoints: list[float] = field(default_factory=list)
+
+    # --- TPU-native solver knobs (no reference analogue: CHOLMOD was exact) ---
+    dtype: str = "auto"                 # "auto" | "float32" | "float64"
+    cg_rtol: float = 1e-8               # relative residual for the CG solve
+    cg_maxiter: int = 20000
+    preconditioner: str = "auto"        # "auto" | "jacobi" | "multigrid"
+    mg_levels: int = 0                  # 0 = auto depth
+    mg_smooth_iters: int = 2
+
+    def __post_init__(self):
+        if self.filter_type not in ("sensitivity", "density"):
+            raise ValueError(
+                f"filter_type must be 'sensitivity' or 'density', got "
+                f"{self.filter_type!r}"
+            )
+        if self.preconditioner not in ("auto", "jacobi", "multigrid", "none"):
+            raise ValueError(f"unknown preconditioner {self.preconditioner!r}")
+
+
+@dataclass
+class OptimizationResult:
+    """Final design and history (parity: Optimization.jl:145-155)."""
+
+    densities: np.ndarray          # final PHYSICAL densities (flat, x-fastest)
+    displacements: np.ndarray      # final displacement dof vector (flat)
+    stresses: dict                 # cell -> per-quadrature-point stress tensors
+    energy: float
+    volume: float
+    iterations: int
+    converged: bool
+    energy_history: list[float]
+    volume_history: list[float]
+
+    # TPU extras (not in the reference result)
+    densities_3d: np.ndarray | None = None   # (nx, ny, nz) for voxel grids
+    cg_iterations_history: list[int] = field(default_factory=list)
+    change_history: list[float] = field(default_factory=list)
+    element_energies: np.ndarray | None = None  # 0.5*E(rho)*u_e^T ke u_e, flat
