@@ -1,0 +1,92 @@
+"""OC update parity against the literal bisection port."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from easysimp_tpu.ops.oc import oc_update, sensitivity_health
+from reference_impl import ReferenceFilter, oc_update_reference
+
+
+def random_state(n=200, seed=5):
+    rng = np.random.default_rng(seed)
+    rho = rng.uniform(0.05, 0.95, n)
+    sens = -rng.uniform(0.01, 5.0, n)
+    vols = np.full(n, 1.0)
+    vol_sens = vols / vols.sum()
+    return rho, sens, vols, vol_sens, rng
+
+
+class TestOCUpdate:
+    def test_matches_reference_port(self):
+        rho, sens, vols, vol_sens, _ = random_state()
+        new_ref, lam_ref = oc_update_reference(
+            rho, sens, vol_sens, 0.4, vols.sum(), vols, 0.2, 0.5
+        )
+        new, lam, its = oc_update(
+            jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
+            0.4, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
+        )
+        np.testing.assert_allclose(np.asarray(new), new_ref, rtol=1e-12,
+                                   atol=1e-14)
+        assert np.isclose(float(lam), lam_ref, rtol=1e-9)
+
+    def test_volume_constraint_satisfied(self):
+        rho, sens, vols, vol_sens, _ = random_state(seed=6)
+        new, lam, its = oc_update(
+            jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
+            0.5, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
+        )
+        # absolute tolerance 1e-6 (OptimalityCriteria.jl:91,128)
+        assert abs(float(jnp.sum(new * jnp.asarray(vols))) - 0.5 * vols.sum()) < 1e-6
+
+    def test_bounds_and_move_limits(self):
+        rho, sens, vols, vol_sens, _ = random_state(seed=7)
+        new, _, _ = oc_update(
+            jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
+            0.4, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
+        )
+        new = np.asarray(new)
+        assert np.all(new >= 1e-3 - 1e-15)
+        assert np.all(new <= 1.0 + 1e-15)
+        assert np.all(new <= rho + 0.2 + 1e-12)
+        assert np.all(new >= np.maximum(rho - 0.2, 1e-3) - 1e-12)
+
+    def test_with_density_filter_in_bisection(self):
+        """Density filter re-applied inside every bisection step
+        (OptimalityCriteria.jl:119-125)."""
+        rng = np.random.default_rng(12)
+        centers = rng.uniform(0, 5, (120, 3))
+        vols = rng.uniform(0.8, 1.2, 120)
+        radius = 1.2
+        ref_filt = ReferenceFilter(centers, vols, radius)
+
+        from easysimp_tpu.ops.filters import UnstructuredFilter
+
+        filt = UnstructuredFilter(centers, vols, radius, dtype=jnp.float64)
+
+        rho = rng.uniform(0.1, 0.9, 120)
+        sens = -rng.uniform(0.01, 3.0, 120)
+        vol_sens = ref_filt.chain_rule(vols / vols.sum())
+
+        new_ref, lam_ref = oc_update_reference(
+            rho, sens, vol_sens, 0.45, vols.sum(), vols, 0.2, 0.5,
+            density_filter=ref_filt.density_filter,
+        )
+        new, lam, _ = oc_update(
+            jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
+            0.45, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
+            apply_physical=filt.density_filter,
+        )
+        np.testing.assert_allclose(np.asarray(new), new_ref, rtol=1e-10,
+                                   atol=1e-12)
+        # physical volume satisfied
+        phys = np.asarray(filt.density_filter(new))
+        assert abs(np.dot(phys, vols) - 0.45 * vols.sum()) < 1e-6
+
+
+def test_sensitivity_health():
+    sens = jnp.asarray(-np.abs(np.random.default_rng(1).standard_normal(100)))
+    frac_neg, med, rng_ratio = sensitivity_health(sens)
+    assert float(frac_neg) == 1.0
+    assert float(med) > 0
+    assert float(rng_ratio) >= 1.0

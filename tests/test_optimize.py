@@ -1,0 +1,177 @@
+"""End-to-end SIMP trajectory parity vs the scipy direct-solve reference.
+
+This is the rebuild's analogue of the reference's canonical correctness
+workload (test/runtests.jl:16-106: 60x20x4 cantilever, 20 iterations) with the
+verification rigor the reference lacks: per-iteration compliance must match a
+direct sparse solver to rtol <= 1e-6 (BASELINE.md target) and the density
+trajectory must track elementwise.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import easysimp_tpu as et
+from reference_impl import simp_optimize_reference
+
+
+def build_cantilever(nels, E0=200.0, vf=0.4, max_iter=10, tol=0.01,
+                     filter_radius=1.5, filter_type="sensitivity"):
+    grid = et.generate_grid(nels, (0.0, 0.0, 0.0),
+                            tuple(float(n) for n in nels))
+    fixed_nodes = et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-3)
+    nx, ny, nz = nels
+    force_nodes = et.select_nodes_by_box(
+        grid, [nx, 0, 0], [nx, 0, nz]
+    )
+    bc = et.apply_fixed_boundary(grid, fixed_nodes)
+    load = et.PointLoad(force_nodes, [0.0, -1.0, 0.0])
+    params = et.OptimizationParameters(
+        E0=E0, Emin=1e-6, nu=0.3, p=3.0, volume_fraction=vf,
+        max_iterations=max_iter, tolerance=tol, filter_radius=filter_radius,
+        filter_type=filter_type, dtype="float64", cg_rtol=1e-12,
+    )
+    return grid, bc, load, params
+
+
+def run_reference(grid, bc, load, params):
+    f = np.asarray(et.build_load_field(grid, [load]), dtype=np.float64)
+    f_flat = grid.dofs_flat(f)
+    mask = et.build_free_mask(grid, [bc])
+    fixed_dofs = np.nonzero(grid.dofs_flat(mask) == 0)[0]
+    return simp_optimize_reference(
+        grid.node_coords, grid.hex_connectivity, fixed_dofs, f_flat,
+        E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
+        volume_fraction=params.volume_fraction,
+        max_iterations=params.max_iterations, tolerance=params.tolerance,
+        filter_radius_ratio=params.filter_radius,
+        filter_type=params.filter_type,
+        move=params.move_limit, damping=params.damping,
+    )
+
+
+@pytest.mark.parametrize("filter_type", ["sensitivity", "density"])
+def test_trajectory_parity_small(filter_type):
+    """Full 10-iteration trajectory: compliance rtol <= 1e-6 per iteration,
+    density trajectory tracks the direct-solver reference elementwise."""
+    grid, bc, load, params = build_cantilever(
+        (10, 6, 2), max_iter=10, filter_type=filter_type
+    )
+    res = et.simp_optimize(grid, [load], [bc], params)
+    ref = run_reference(grid, bc, load, params)
+
+    assert len(res.energy_history) == len(ref["energies"])
+    np.testing.assert_allclose(
+        res.energy_history, ref["energies"], rtol=1e-6,
+        err_msg=f"compliance parity ({filter_type})",
+    )
+    np.testing.assert_allclose(
+        res.volume_history, ref["volumes"], rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        res.densities, ref["final_densities"], atol=5e-5
+    )
+    assert np.isclose(res.energy, ref["final_energy"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_canonical_cantilever_60x20x4():
+    """The reference's canonical smoke workload (test/runtests.jl:20-104):
+    60x20x4 hex cantilever, E0=200, vf=0.4, p=3, r=2.5, 20 iters @ tol 0.08.
+    BASELINE.md: compliance rtol <= 1e-6 vs the direct solver."""
+    grid = et.generate_grid((60, 20, 4), (0.0, 0.0, 0.0), (60.0, 20.0, 4.0))
+    fixed_nodes = et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-3)
+    force_nodes = et.select_nodes_by_circle(
+        grid, [60.0, 0.0, 2.0], [1.0, 0.0, 0.0], 1.0
+    )
+    assert len(force_nodes) > 0
+    bc = et.apply_fixed_boundary(grid, fixed_nodes)
+    load = et.PointLoad(force_nodes, [0.0, -1.0, 0.0])
+    params = et.OptimizationParameters(
+        E0=200.0, Emin=1e-6, nu=0.3, p=3.0, volume_fraction=0.4,
+        max_iterations=20, tolerance=0.08, filter_radius=2.5,
+        move_limit=0.2, damping=0.5, dtype="float64", cg_rtol=1e-12,
+    )
+    res = et.simp_optimize(grid, [load], [bc], params)
+    ref = run_reference(grid, bc, load, params)
+    np.testing.assert_allclose(res.energy_history, ref["energies"], rtol=1e-6)
+    np.testing.assert_allclose(res.densities, ref["final_densities"], atol=5e-5)
+    assert np.isclose(res.energy, ref["final_energy"], rtol=1e-6)
+
+
+def test_finite_difference_sensitivities():
+    """Generalization of the reference's VerifySensitivities.jl FD check.
+
+    Note the reference convention (SensitivityAnalysis.jl:74-78): the
+    sensitivities are d(u^T K u)/d rho — FULL compliance, i.e. 2x the logged
+    energy 0.5 u^T K u.  The OC update is invariant to uniform sensitivity
+    scaling (lambda absorbs it), so this convention is self-consistent; the FD
+    check must differentiate the same quantity."""
+    grid, bc, load, params = build_cantilever((6, 4, 2), max_iter=1)
+    op = et.VoxelOperator(grid, E0=params.E0, Emin=params.Emin, nu=params.nu,
+                          p=params.p, dtype=jnp.float64)
+    mask = jnp.asarray(et.build_free_mask(grid, [bc]))
+    f = jnp.asarray(et.build_load_field(grid, [load])) * mask
+    from easysimp_tpu.ops.cg import cg_solve
+
+    def compliance(rho3d):
+        scale = op.youngs_modulus(rho3d)
+        diag = op.diagonal(scale, mask)
+        sol = cg_solve(lambda v: op.apply(v, scale, mask), f,
+                       M=lambda r: r / diag, rtol=1e-13, maxiter=5000)
+        return float(jnp.vdot(sol.u, f) - sol.u_dot_r), sol.u  # u^T K u
+
+    rng = np.random.default_rng(2)
+    rho = rng.uniform(0.3, 0.9, grid.nels)
+    c0, u = compliance(jnp.asarray(rho))
+    sens = np.asarray(op.compliance_sensitivities(u, jnp.asarray(rho)))
+
+    h = 1e-6
+    for idx in [(0, 0, 0), (2, 1, 1), (5, 3, 1)]:
+        pert = rho.copy()
+        pert[idx] += h
+        c1, _ = compliance(jnp.asarray(pert))
+        fd = (c1 - c0) / h
+        assert np.isclose(fd, sens[idx], rtol=2e-4), (idx, fd, sens[idx])
+
+
+def test_body_force_matches_reference_semantics():
+    """Variable-density body force: total applied force equals
+    sum(rho * base_density * V_e) * accel, matching
+    apply_variable_density_volume_force! (FiniteElementAnalysis.jl:486-526)."""
+    from easysimp_tpu.loads import voxel_body_force
+
+    grid = et.generate_grid((3, 2, 2), (0.0, 0.0, 0.0), (1.5, 1.0, 1.0))
+    rng = np.random.default_rng(3)
+    rho = rng.uniform(0.2, 1.0, grid.nels)
+    accel = (0.0, -9.81, 0.0)
+    f = np.asarray(voxel_body_force(jnp.asarray(rho), accel, 7850.0,
+                                    grid.element_volume, jnp.float64))
+    total = grid.nodes_flat(f).sum(axis=0)
+    expected = np.asarray(accel) * 7850.0 * rho.sum() * grid.element_volume
+    np.testing.assert_allclose(total, expected, rtol=1e-12)
+    # skip guard: rho < 1e-6 contributes nothing
+    rho2 = rho.copy()
+    rho2[0, 0, 0] = 1e-8
+    f2 = np.asarray(voxel_body_force(jnp.asarray(rho2), accel, 7850.0,
+                                     grid.element_volume, jnp.float64))
+    expected2 = np.asarray(accel) * 7850.0 * (rho2 * (rho2 >= 1e-6)).sum() \
+        * grid.element_volume
+    np.testing.assert_allclose(grid.nodes_flat(f2).sum(axis=0), expected2,
+                               rtol=1e-12)
+
+
+def test_convergence_and_result_fields():
+    grid, bc, load, params = build_cantilever((8, 4, 2), max_iter=60, tol=0.02)
+    res = et.simp_optimize(grid, [load], [bc], params)
+    assert res.converged
+    assert res.iterations < 60
+    assert res.change_history[-1] < 0.02
+    # energy decreases overall
+    assert res.energy_history[-1] < res.energy_history[0]
+    # result arrays well-formed
+    assert res.densities.shape == (grid.n_cells,)
+    assert res.displacements.shape == (grid.n_dofs,)
+    assert res.stresses.von_mises.shape == (grid.n_cells,)
+    assert res.element_energies.shape == (grid.n_cells,)
+    assert np.all(res.element_energies >= 0)
