@@ -1,0 +1,216 @@
+"""Geometric multigrid preconditioner on the voxel hierarchy.
+
+The reference refactorizes a sparse Cholesky every SIMP iteration
+(src/Optimization/Optimization.jl:317) — O(n^2)-ish fill-in that caps problem
+size and has no TPU mapping.  Here the voxel structure gives a natural
+geometric hierarchy: factor-2 coarsening of the element grid, SIMP moduli
+averaged over 2x2x2 children, rediscretized coarse operators (same stencil
+code at every level), trilinear prolongation with its exact adjoint as
+restriction, damped-Jacobi smoothing, and an EXACT dense Cholesky at the
+coarsest level (a few hundred to a few thousand dofs) so the V-cycle is a
+fixed symmetric positive linear operator — safe as a CG preconditioner.
+
+Everything runs inside jit: per-SIMP-iteration data (coarse moduli, level
+diagonals, the coarsest dense factor) is recomputed on device from the fine
+density field; only shapes, kes, and connectivity indices are static.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grids import VoxelGrid
+from .operator import VoxelOperator
+
+__all__ = ["MultigridPreconditioner"]
+
+_MAX_COARSE_DOFS = 4100  # stop coarsening once a dense solve is this cheap
+
+
+def _coarsen_counts(nels):
+    return tuple(n // 2 for n in nels)
+
+
+def _can_coarsen(nels):
+    return all(n % 2 == 0 and n >= 2 for n in nels) and any(n > 2 for n in nels)
+
+
+def _refine_axis(c, axis):
+    """Trilinear refinement along one axis: (n+1) nodes -> (2n+1) nodes."""
+    c = jnp.moveaxis(c, axis, 0)
+    odd = 0.5 * (c[:-1] + c[1:])
+    inter = jnp.stack([c[:-1], odd], axis=1).reshape((-1,) + c.shape[1:])
+    out = jnp.concatenate([inter, c[-1:]], axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _restrict_axis(f, axis):
+    """Exact adjoint of `_refine_axis`: (2n+1) -> (n+1)."""
+    f = jnp.moveaxis(f, axis, 0)
+    even = f[0::2]
+    odd = f[1::2]                      # shape (n,)
+    zeros = jnp.zeros_like(even[:1])
+    up = jnp.concatenate([odd, zeros], axis=0)    # odd neighbor above even i
+    down = jnp.concatenate([zeros, odd], axis=0)  # odd neighbor below even i
+    out = even + 0.5 * (up + down)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def prolong(xc):
+    """Coarse node field (ncx+1, ncy+1, ncz+1, 3) -> fine (2ncx+1, ...)."""
+    for axis in range(3):
+        xc = _refine_axis(xc, axis)
+    return xc
+
+
+def restrict(xf):
+    """Adjoint of `prolong` (verified by the adjoint identity test)."""
+    for axis in range(3):
+        xf = _restrict_axis(xf, axis)
+    return xf
+
+
+def coarsen_cells(scale):
+    """Average element field over 2x2x2 children (modulus coarsening)."""
+    nx, ny, nz = scale.shape
+    return scale.reshape(nx // 2, 2, ny // 2, 2, nz // 2, 2).mean(axis=(1, 3, 5))
+
+
+def coarsen_mask(mask):
+    """Node-mask injection: coarse node constrained iff its fine image is."""
+    return mask[::2, ::2, ::2]
+
+
+class MultigridPreconditioner:
+    """Symmetric V-cycle preconditioner for the masked voxel operator."""
+
+    def __init__(self, fine_op: VoxelOperator, levels: int = 0,
+                 smooth_iters: int = 2, power_iters: int = 12):
+        self.smooth_iters = int(smooth_iters)
+        self.power_iters = int(power_iters)
+        self.dtype = fine_op.dtype
+
+        # Build the grid/operator hierarchy (static).
+        self.ops = [fine_op]
+        grid = fine_op.grid
+        while _can_coarsen(grid.nels):
+            nels = _coarsen_counts(grid.nels)
+            spacing = tuple(2.0 * s for s in grid.spacing)
+            grid = VoxelGrid(nels=nels, origin=grid.origin, spacing=spacing)
+            self.ops.append(
+                VoxelOperator(grid, E0=fine_op.E0, Emin=fine_op.Emin,
+                              nu=fine_op.nu, p=fine_op.p, dtype=self.dtype)
+            )
+            coarse_dofs = 3 * grid.n_nodes
+            if coarse_dofs <= _MAX_COARSE_DOFS:
+                break
+            if levels and len(self.ops) >= levels:
+                break
+        self.n_levels = len(self.ops)
+
+        # Dense-assembly indices for the coarsest level (static).
+        cg = self.ops[-1].grid
+        conn = cg.hex_connectivity                       # (E, 8)
+        dof = (3 * conn[:, :, None] + np.arange(3)).reshape(conn.shape[0], 24)
+        self._rows = jnp.asarray(np.repeat(dof, 24, axis=1).reshape(-1))
+        self._cols = jnp.asarray(np.tile(dof, (1, 24)).reshape(-1))
+        self._coarse_ndofs = 3 * cg.n_nodes
+
+    # ------------------------------------------------------------------
+    def _coarsest_factor(self, scale_flat, mask_flat):
+        """Dense BC-masked stiffness at the coarsest level + its Cholesky."""
+        op = self.ops[-1]
+        vals = (scale_flat[:, None, None] * op.ke[None]).reshape(-1)
+        n = self._coarse_ndofs
+        K = jnp.zeros((n, n), dtype=self.dtype).at[self._rows, self._cols].add(vals)
+        K = mask_flat[:, None] * K * mask_flat[None, :]
+        K = K + jnp.diag(1.0 - mask_flat)
+        return jax.scipy.linalg.cho_factor(K)
+
+    def _estimate_lambda_max(self, lvl, scale, mask, diag):
+        """Power iteration on D^{-1} A (same spectrum as the symmetrized
+        operator).  The estimate feeds a fixed per-setup omega, so the
+        resulting smoother — and hence M — stays LINEAR in the residual."""
+        op = self.ops[lvl]
+        shape = (*op.grid.nnodes_per_axis, 3)
+        # Deterministic pseudo-random start with broad spectral content.
+        n = int(np.prod(shape))
+        v = jnp.sin(jnp.arange(1, n + 1, dtype=self.dtype) * 12.9898)
+        v = v.reshape(shape) * mask
+        lam = jnp.asarray(1.0, self.dtype)
+        for _ in range(self.power_iters):
+            w = op.apply(v, scale, mask) / diag
+            lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v),
+                                                        jnp.finfo(self.dtype).tiny))
+            v = w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)),
+                                jnp.finfo(self.dtype).tiny)
+        return lam
+
+    def setup(self, scale, free_mask):
+        """Per-SIMP-iteration setup (inside jit): level moduli, masks,
+        diagonals, smoother weights, coarsest factorization."""
+        scales, masks, diags, omegas = [scale], [free_mask], [], []
+        for lvl in range(1, self.n_levels):
+            scales.append(coarsen_cells(scales[-1]))
+            masks.append(coarsen_mask(masks[-1]))
+        for lvl in range(self.n_levels):
+            diag = self.ops[lvl].diagonal(scales[lvl], masks[lvl])
+            diags.append(diag)
+            lam = self._estimate_lambda_max(lvl, scales[lvl], masks[lvl], diag)
+            # omega = 4/(3 lam_max) with 5% headroom: contraction factor
+            # ~1/3 on the upper half-spectrum, |1 - w*lam| < 1 everywhere.
+            omegas.append(4.0 / (3.0 * 1.05 * lam))
+
+        cg = self.ops[-1].grid
+        # x-fastest flattening to match hex_connectivity numbering
+        scale_flat = scales[-1].transpose(2, 1, 0).reshape(-1)
+        mask_flat = masks[-1].transpose(2, 1, 0, 3).reshape(-1)
+        cho = self._coarsest_factor(scale_flat, mask_flat)
+        return {"scales": scales, "masks": masks, "diags": diags,
+                "omegas": omegas, "cho": cho, "mask_flat": mask_flat}
+
+    # ------------------------------------------------------------------
+    def _smooth(self, lvl, state, r, x, iters):
+        """Damped-Jacobi iterations x <- x + w D^-1 (r - A x)."""
+        op = self.ops[lvl]
+        scale, mask, diag = (state["scales"][lvl], state["masks"][lvl],
+                             state["diags"][lvl])
+        omega = state["omegas"][lvl]
+        for _ in range(iters):
+            x = x + omega * (r - op.apply(x, scale, mask)) / diag
+        return x
+
+    def _vcycle(self, lvl, state, r):
+        if lvl == self.n_levels - 1:
+            cgrid = self.ops[-1].grid
+            r_flat = r.transpose(2, 1, 0, 3).reshape(-1) * state["mask_flat"]
+            x_flat = jax.scipy.linalg.cho_solve(state["cho"], r_flat)
+            x_flat = x_flat * state["mask_flat"]
+            nnx, nny, nnz = cgrid.nnodes_per_axis
+            return x_flat.reshape(nnz, nny, nnx, 3).transpose(2, 1, 0, 3)
+
+        op = self.ops[lvl]
+        scale, mask = state["scales"][lvl], state["masks"][lvl]
+        x = jnp.zeros_like(r)
+        x = self._smooth(lvl, state, r, x, self.smooth_iters)
+        res = r - op.apply(x, scale, mask)
+        rc = state["masks"][lvl + 1] * restrict(res)
+        xc = self._vcycle(lvl + 1, state, rc)
+        x = x + mask * prolong(xc)
+        x = self._smooth(lvl, state, r, x, self.smooth_iters)
+        return x
+
+    def preconditioner_factory(self):
+        """Factory used by the driver: (scale, mask) -> M(r)."""
+
+        def factory(scale, free_mask):
+            state = self.setup(scale, free_mask)
+
+            def M(r):
+                return self._vcycle(0, state, r)
+
+            return M
+
+        return factory

@@ -19,6 +19,9 @@ Iteration semantics match the reference:
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,7 +42,7 @@ from ..utils.terminal import (
     print_warning,
 )
 
-__all__ = ["simp_optimize"]
+__all__ = ["simp_optimize", "build_voxel_step", "VoxelStep"]
 
 
 def _resolve_dtype(params: OptimizationParameters):
@@ -48,122 +51,127 @@ def _resolve_dtype(params: OptimizationParameters):
     return jnp.dtype(params.dtype)
 
 
-def _build_preconditioner(op, params, scale_diag_fn):
+def _build_preconditioner(op, params):
     """Returns precond_factory(scale, free_mask) -> M(r).
 
     'auto' resolves to multigrid for voxel grids when a hierarchy exists,
     else Jacobi (see ops/multigrid.py)."""
     choice = params.preconditioner
     if choice in ("auto", "multigrid") and isinstance(op, VoxelOperator):
-        try:
-            from ..ops.multigrid import MultigridPreconditioner
+        from ..ops.multigrid import MultigridPreconditioner
 
-            mg = MultigridPreconditioner(
-                op,
-                levels=params.mg_levels,
-                smooth_iters=params.mg_smooth_iters,
+        mg = MultigridPreconditioner(
+            op, levels=params.mg_levels, smooth_iters=params.mg_smooth_iters
+        )
+        if mg.n_levels > 1:
+            return mg.preconditioner_factory()
+        if choice == "multigrid":
+            print_warning(
+                "multigrid requested but grid has no coarsenable levels; "
+                "falling back to Jacobi"
             )
-            if mg.n_levels > 1:
-                return mg.preconditioner_factory()
-            if choice == "multigrid":
-                print_warning(
-                    "multigrid requested but grid has no coarsenable levels; "
-                    "falling back to Jacobi"
-                )
-        except ImportError:
-            if choice == "multigrid":
-                raise
     if choice == "none":
         return lambda scale, mask: (lambda r: r)
 
     def jacobi_factory(scale, mask):
-        diag = scale_diag_fn(scale, mask)
+        diag = op.diagonal(scale, mask)
         return lambda r: r / diag
 
     return jacobi_factory
 
 
-def simp_optimize(grid, loads, boundary_conditions, params: OptimizationParameters,
-                  acceleration_data=None) -> OptimizationResult:
-    """Run SIMP topology optimization.
+@dataclass
+class VoxelStep:
+    """The compiled SIMP iteration and its companion state.
 
-    Args:
-      grid: VoxelGrid (structured path) or UnstructuredMesh.
-      loads: list of PointLoad / SurfaceTractionLoad.
-      boundary_conditions: list of DirichletBC.
-      params: OptimizationParameters.
-      acceleration_data: optional (acceleration_vector, base_density) for
-        variable-density body forces (Optimization.jl:195-198, 301-311).
+    `step(design, u_prev)` runs one full SIMP iteration (solve + sensitivities
+    + filter + OC) and is jit/pjit-compilable; `solve(design)` is the final
+    re-analysis.  Exposed for the driver, benchmarks, and the multichip dry
+    run — all of which must exercise the exact same compiled pipeline.
     """
-    if not isinstance(grid, VoxelGrid):
-        from .optimize_unstructured import simp_optimize_unstructured
 
-        return simp_optimize_unstructured(
-            grid, loads, boundary_conditions, params, acceleration_data
-        )
+    grid: VoxelGrid
+    op: VoxelOperator
+    filt: Any
+    step: Callable
+    solve: Callable
+    design0: jax.Array
+    u0: jax.Array
+    elem_vol: float
+    total_volume: float
+    dtype: Any
+    use_density_filter: bool
 
-    print_info("Starting SIMP topology optimization (voxel path)")
+    # field order returned by `step`
+    STEP_OUTPUTS = (
+        "new_design", "u", "phys", "energy", "volume", "change", "lam",
+        "grayness", "max_disp", "cg_iters", "cg_residual", "bisect_iters",
+        "frac_negative_sens", "median_abs_sens", "sens_range_ratio",
+    )
+
+
+def build_voxel_step(grid, loads, boundary_conditions,
+                     params: OptimizationParameters, acceleration_data=None,
+                     mesh=None) -> VoxelStep:
+    """Construct the jit-compilable SIMP iteration for a voxel problem."""
     dtype = _resolve_dtype(params)
-
-    logger = None
-    if params.export_path:
-        from .logger import OptimizationLogger
-
-        logger = OptimizationLogger(params.export_path, params.task_name)
-
-    if acceleration_data is not None:
-        accel_vec, base_density = acceleration_data
-        print_info(f"Variable density acceleration enabled: {accel_vec}")
-
-    # ----- geometry / volumes ------------------------------------------------
     elem_vol = grid.element_volume
     total_volume = grid.total_volume
-    print_data(f"Total mesh volume: {total_volume}")
 
-    # ----- operator, filter, masks, loads -------------------------------------
     op = VoxelOperator(
-        grid, E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p, dtype=dtype
+        grid, E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
+        dtype=dtype,
     )
     filt = create_filter_cache(grid, params.filter_radius, dtype=dtype)
     use_density_filter = params.filter_type == "density"
 
-    free_mask = jnp.asarray(build_free_mask(grid, boundary_conditions), dtype=dtype)
+    free_mask = jnp.asarray(build_free_mask(grid, boundary_conditions),
+                            dtype=dtype)
     f_ext = jnp.asarray(build_load_field(grid, loads), dtype=dtype)
+
+    if acceleration_data is not None:
+        accel_vec, base_density = acceleration_data
 
     # Volume sensitivities: geometry-only, chain-ruled ONCE for the density
     # filter (Optimization.jl:241-248).
-    vol_sens_physical = jnp.full(grid.nels, elem_vol / total_volume, dtype=dtype)
-    if use_density_filter:
-        vol_sens = filt.chain_rule(vol_sens_physical)
-    else:
-        vol_sens = vol_sens_physical
+    vol_sens_physical = jnp.full(grid.nels, elem_vol / total_volume,
+                                 dtype=dtype)
+    vol_sens = (filt.chain_rule(vol_sens_physical) if use_density_filter
+                else vol_sens_physical)
 
-    precond_factory = _build_preconditioner(
-        op, params, lambda scale, mask: op.diagonal(scale, mask)
-    )
+    design0 = jnp.full(grid.nels, params.volume_fraction, dtype=dtype)
+    u0 = jnp.zeros((*grid.nnodes_per_axis, 3), dtype=dtype)
+    if mesh is not None:
+        from ..parallel.sharding import shard_voxel_state
 
-    # ----- the jitted iteration ------------------------------------------------
-    def step(design, u_prev):
+        (design0, vol_sens), (u0, free_mask, f_ext) = shard_voxel_state(
+            mesh, cell_fields=(design0, vol_sens),
+            node_fields=(u0, free_mask, f_ext),
+        )
+
+    precond_factory = _build_preconditioner(op, params)
+
+    def forward(design, u_prev):
+        """Shared physics: filter -> loads -> solve -> energy/volume."""
         phys = filt.density_filter(design) if use_density_filter else design
         scale = op.youngs_modulus(phys)
-
         f = f_ext
         if acceleration_data is not None:
-            f = f + voxel_body_force(
-                phys, accel_vec, base_density, elem_vol, dtype
-            )
+            f = f + voxel_body_force(phys, accel_vec, base_density, elem_vol,
+                                     dtype)
         f_bc = f * free_mask
-
         A = lambda v: op.apply(v, scale, free_mask)
         M = precond_factory(scale, free_mask)
-        sol = cg_solve(
-            A, f_bc, x0=u_prev * free_mask, M=M,
-            rtol=params.cg_rtol, maxiter=params.cg_maxiter,
-        )
-        u = sol.u
+        sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
+                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
         # 0.5 u^T K u without an extra matvec: K u = f - r at the CG exit.
-        energy = 0.5 * (jnp.vdot(u, f_bc) - sol.u_dot_r)
+        energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys) * elem_vol
+        return phys, sol, energy, volume
+
+    def step(design, u_prev):
+        phys, sol, energy, volume = forward(design, u_prev)
+        u = sol.u
 
         sens = op.compliance_sensitivities(u, phys)
         if use_density_filter:
@@ -179,46 +187,76 @@ def simp_optimize(grid, loads, boundary_conditions, params: OptimizationParamete
         )
         change = jnp.max(jnp.abs(new_design - design))
         grayness = jnp.mean(
-            jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype)
-        )
+            jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype))
         max_disp = jnp.max(jnp.abs(u))
         frac_neg, med, rng = sensitivity_health(fsens)
-        return (
-            new_design, u, phys, energy, volume, change, lam, grayness,
-            max_disp, sol.iterations, sol.residual_norm, bisect_iters,
-            frac_neg, med, rng,
-        )
-
-    step_jit = jax.jit(step)
+        return (new_design, u, phys, energy, volume, change, lam, grayness,
+                max_disp, sol.iterations, sol.residual_norm, bisect_iters,
+                frac_neg, med, rng)
 
     def solve_only(design):
-        """Final analysis solve at given design (tighter work, same path)."""
-        phys = filt.density_filter(design) if use_density_filter else design
-        scale = op.youngs_modulus(phys)
-        f = f_ext
-        if acceleration_data is not None:
-            f = f + voxel_body_force(phys, accel_vec, base_density, elem_vol, dtype)
-        f_bc = f * free_mask
-        A = lambda v: op.apply(v, scale, free_mask)
-        M = precond_factory(scale, free_mask)
-        sol = cg_solve(A, f_bc, x0=jnp.zeros_like(f_bc), M=M,
-                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
-        energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
+        """Final analysis (Optimization.jl:494-539): re-filter + re-solve."""
+        phys, sol, energy, _ = forward(design, jnp.zeros_like(u0))
         return phys, sol.u, energy
 
-    solve_jit = jax.jit(solve_only)
+    return VoxelStep(
+        grid=grid, op=op, filt=filt, step=step, solve=solve_only,
+        design0=design0, u0=u0, elem_vol=elem_vol, total_volume=total_volume,
+        dtype=dtype, use_density_filter=use_density_filter,
+    )
 
-    # ----- initial state --------------------------------------------------------
-    design = jnp.full(grid.nels, params.volume_fraction, dtype=dtype)
-    u = jnp.zeros((*grid.nnodes_per_axis, 3), dtype=dtype)
 
+def simp_optimize(grid, loads, boundary_conditions,
+                  params: OptimizationParameters, acceleration_data=None,
+                  mesh=None) -> OptimizationResult:
+    """Run SIMP topology optimization.
+
+    Args:
+      grid: VoxelGrid (structured path) or UnstructuredMesh.
+      loads: list of PointLoad / SurfaceTractionLoad.
+      boundary_conditions: list of DirichletBC.
+      params: OptimizationParameters.
+      acceleration_data: optional (acceleration_vector, base_density) for
+        variable-density body forces (Optimization.jl:195-198, 301-311).
+      mesh: optional jax.sharding.Mesh ("x","y","z") — domain-decomposes the
+        voxel grid over devices; XLA/GSPMD inserts ICI halo exchanges for the
+        stencil and filter ops and psums for the CG reductions.
+    """
+    if not isinstance(grid, VoxelGrid):
+        from .optimize_unstructured import simp_optimize_unstructured
+
+        return simp_optimize_unstructured(
+            grid, loads, boundary_conditions, params, acceleration_data
+        )
+
+    print_info("Starting SIMP topology optimization (voxel path)")
+
+    logger = None
+    if params.export_path:
+        from .logger import OptimizationLogger
+
+        logger = OptimizationLogger(params.export_path, params.task_name)
+
+    if acceleration_data is not None:
+        print_info(
+            f"Variable density acceleration enabled: {acceleration_data[0]}")
+    print_data(f"Total mesh volume: {grid.total_volume}")
+
+    vs = build_voxel_step(grid, loads, boundary_conditions, params,
+                          acceleration_data, mesh)
+    step_jit = jax.jit(vs.step)
+    solve_jit = jax.jit(vs.solve)
+    op, total_volume, elem_vol = vs.op, vs.total_volume, vs.elem_vol
+
+    design, u = vs.design0, vs.u0
     energy_history: list[float] = []
     volume_history: list[float] = []
     change_history: list[float] = []
     cg_history: list[int] = []
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
     if params.tolerance_checkpoints:
-        print_info(f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
+        print_info(
+            f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
 
     converged = False
     iteration = 0
@@ -227,9 +265,8 @@ def simp_optimize(grid, loads, boundary_conditions, params: OptimizationParamete
     for it in range(1, params.max_iterations + 1):
         iteration = it
         (new_design, u, phys, energy, volume, change, lam, grayness,
-         max_disp, cg_iters, cg_res, bisect_iters, frac_neg, med, rng) = step_jit(
-            design, u
-        )
+         max_disp, cg_iters, cg_res, bisect_iters, frac_neg, med, rng) = \
+            step_jit(design, u)
 
         energy = float(energy)
         volume = float(volume)
@@ -251,7 +288,8 @@ def simp_optimize(grid, loads, boundary_conditions, params: OptimizationParamete
                 warned_health = True
             elif float(rng) > 1e8:
                 print_warning(
-                    f"Sensitivity range too large (max/median: {float(rng):.3e})."
+                    f"Sensitivity range too large (max/median: "
+                    f"{float(rng):.3e})."
                 )
                 warned_health = True
 
@@ -272,8 +310,7 @@ def simp_optimize(grid, loads, boundary_conditions, params: OptimizationParamete
                 if not checkpoint_triggered[idx] and change < cp:
                     checkpoint_triggered[idx] = True
                     print_info(
-                        f"Tolerance checkpoint {cp} reached at iteration {it}"
-                    )
+                        f"Tolerance checkpoint {cp} reached at iteration {it}")
                     _export_intermediate(
                         grid, op, params, phys, u, energy, volume, it,
                         energy_history, volume_history,
@@ -281,11 +318,9 @@ def simp_optimize(grid, loads, boundary_conditions, params: OptimizationParamete
                     )
 
         # Periodic interval export (Optimization.jl:448-477)
-        if (
-            params.export_interval > 0
-            and it % params.export_interval == 0
-            and params.export_path
-        ):
+        if (params.export_interval > 0
+                and it % params.export_interval == 0
+                and params.export_path):
             _export_intermediate(
                 grid, op, params, phys, u, energy, volume, it,
                 energy_history, volume_history, name=f"iter_{it:04d}",

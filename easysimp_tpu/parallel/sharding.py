@@ -1,0 +1,112 @@
+"""Device-mesh sharding: SPMD domain decomposition of the voxel grid.
+
+The reference is single-threaded (SURVEY.md §2.9: no MPI/NCCL, no parallel
+loops); scaling here is TPU-native instead of ported: the voxel grid is
+domain-decomposed over a `jax.sharding.Mesh` with `NamedSharding`s on the
+spatial axes.  The matrix-free stencil (static slices + pad-adds), the filter
+convolutions, and the CG reductions are all GSPMD-partitionable as written —
+XLA inserts the halo exchanges (collective-permutes over ICI) and the psum
+reductions automatically, so the SAME jitted SIMP step runs on 1 chip or a
+pod slice without code changes.
+
+Axis mapping:
+  mesh axes ("x", "y", "z")  <->  voxel grid axes 0, 1, 2
+  cell fields  (nx, ny, nz)         -> P("x", "y", "z")
+  node fields  (nnx, nny, nnz, 3)   -> P("x", "y", "z", None)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "cell_sharding",
+    "node_sharding",
+    "shard_voxel_state",
+    "best_mesh_shape",
+]
+
+_AXES = ("x", "y", "z")
+
+
+def best_mesh_shape(n_devices: int, nels, max_axes: int = 3):
+    """Factor n_devices over the largest grid axes.
+
+    Prefers slab (1-D) then pencil (2-D) decompositions — fewer halo
+    surfaces per device ride ICI better than small cubes at moderate device
+    counts.  Axes are assigned in decreasing element count.
+    """
+    order = np.argsort(nels)[::-1]
+    shape = [1, 1, 1]
+    remaining = n_devices
+    for k, ax in enumerate(order[:max_axes]):
+        if remaining == 1:
+            break
+        # largest divisor of `remaining` that divides nels[ax]
+        d = 1
+        for cand in range(min(remaining, nels[ax]), 0, -1):
+            if remaining % cand == 0 and nels[ax] % cand == 0:
+                d = cand
+                break
+        shape[ax] = d
+        remaining //= d
+    if remaining != 1:
+        raise ValueError(
+            f"cannot factor {n_devices} devices over grid {tuple(nels)}"
+        )
+    return tuple(shape)
+
+
+def make_mesh(n_devices: int | None = None, shape=None, devices=None) -> Mesh:
+    """Create a ("x", "y", "z") device mesh.
+
+    Args:
+      n_devices: number of devices (default: all available).
+      shape: explicit (dx, dy, dz) factorization; default (n, 1, 1).
+      devices: explicit device list (default jax.devices()).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if shape is None:
+        shape = (n_devices, 1, 1)
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError(f"mesh shape {shape} != {n_devices} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, _AXES)
+
+
+def cell_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (nx, ny, nz) element fields (densities, moduli, sens)."""
+    return NamedSharding(mesh, P(*_AXES))
+
+
+def node_sharding(mesh: Mesh) -> NamedSharding:
+    """Placement for (nnx, nny, nnz, 3) node fields (u, f, masks).
+
+    Node grids have nels+1 entries per axis — never divisible by the mesh —
+    and explicit uneven input shardings are rejected by jit/device_put.  Node
+    inputs therefore enter mesh-replicated; GSPMD propagates partitioning from
+    the sharded CELL fields into the heavy cell-aligned intermediates (the
+    gathered (nx,ny,nz,24) arrays and the element matmul), inserting halo
+    exchanges where the stencil slices cross shard boundaries.  The planned
+    shard_map + ppermute halo path will give node fields true distributed
+    storage.
+    """
+    return NamedSharding(mesh, P())
+
+
+def shard_voxel_state(mesh: Mesh, *, cell_fields=(), node_fields=()):
+    """device_put the given fields with the canonical shardings.
+
+    Returns (sharded_cell_fields, sharded_node_fields) tuples in input order.
+    """
+    cs, ns = cell_sharding(mesh), node_sharding(mesh)
+    cells = tuple(jax.device_put(a, cs) for a in cell_fields)
+    nodes = tuple(jax.device_put(a, ns) for a in node_fields)
+    return cells, nodes

@@ -1,0 +1,133 @@
+"""Multigrid transfer-operator and preconditioner correctness."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import easysimp_tpu as et
+from easysimp_tpu.ops.cg import cg_solve
+from easysimp_tpu.ops.multigrid import (
+    MultigridPreconditioner,
+    coarsen_cells,
+    prolong,
+    restrict,
+)
+
+
+class TestTransferOperators:
+    def test_prolong_constant(self):
+        """Trilinear prolongation reproduces constants exactly."""
+        xc = jnp.ones((5, 4, 3, 3))
+        xf = prolong(xc)
+        assert xf.shape == (9, 7, 5, 3)
+        np.testing.assert_allclose(np.asarray(xf), 1.0, atol=1e-15)
+
+    def test_prolong_linear(self):
+        """...and linear fields exactly (trilinear interpolation)."""
+        nc = (4, 3, 2)
+        coords = np.stack(
+            np.meshgrid(*[np.arange(n + 1, dtype=float) for n in nc],
+                        indexing="ij"), axis=-1)
+        lin = (2.0 * coords[..., 0] - 0.5 * coords[..., 1]
+               + 3.0 * coords[..., 2])[..., None] * np.ones(3)
+        xf = np.asarray(prolong(jnp.asarray(lin)))
+        coords_f = np.stack(
+            np.meshgrid(*[np.arange(2 * n + 1, dtype=float) / 2 for n in nc],
+                        indexing="ij"), axis=-1)
+        lin_f = (2.0 * coords_f[..., 0] - 0.5 * coords_f[..., 1]
+                 + 3.0 * coords_f[..., 2])[..., None] * np.ones(3)
+        np.testing.assert_allclose(xf, lin_f, atol=1e-13)
+
+    def test_restrict_is_adjoint_of_prolong(self):
+        rng = np.random.default_rng(0)
+        xc = jnp.asarray(rng.standard_normal((4, 3, 5, 3)))
+        xf = jnp.asarray(rng.standard_normal((7, 5, 9, 3)))
+        lhs = float(jnp.vdot(prolong(xc), xf))
+        rhs = float(jnp.vdot(xc, restrict(xf)))
+        assert np.isclose(lhs, rhs, rtol=1e-13)
+
+    def test_coarsen_cells_mean(self):
+        rng = np.random.default_rng(1)
+        s = jnp.asarray(rng.uniform(size=(4, 6, 2)))
+        c = np.asarray(coarsen_cells(s))
+        assert c.shape == (2, 3, 1)
+        np.testing.assert_allclose(
+            c[0, 0, 0], np.asarray(s)[:2, :2, :2].mean(), rtol=1e-14
+        )
+
+
+class TestMGPreconditioner:
+    def _problem(self, nels=(16, 8, 4), contrast=True):
+        grid = et.generate_grid(nels, (0.0, 0.0, 0.0),
+                                tuple(float(n) for n in nels))
+        op = et.VoxelOperator(grid, E0=200.0, Emin=1e-6, nu=0.3, p=3.0,
+                              dtype=jnp.float64)
+        bc = et.apply_fixed_boundary(
+            grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+        mask = jnp.asarray(et.build_free_mask(grid, [bc]))
+        nx, ny, nz = nels
+        load = et.PointLoad(
+            et.select_nodes_by_box(grid, [nx, 0, 0], [nx, 0, nz]),
+            [0.0, -1.0, 0.0])
+        f = jnp.asarray(et.build_load_field(grid, [load])) * mask
+        rng = np.random.default_rng(5)
+        if contrast:
+            rho = rng.choice([0.02, 1.0], size=grid.nels, p=[0.5, 0.5])
+        else:
+            rho = rng.uniform(0.3, 1.0, grid.nels)
+        scale = op.youngs_modulus(jnp.asarray(rho))
+        return grid, op, mask, f, scale
+
+    def test_vcycle_is_linear_and_symmetric(self):
+        grid, op, mask, f, scale = self._problem((8, 4, 4))
+        mg = MultigridPreconditioner(op, smooth_iters=2)
+        assert mg.n_levels >= 2
+        M = mg.preconditioner_factory()(scale, mask)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal(f.shape)) * mask
+        y = jnp.asarray(rng.standard_normal(f.shape)) * mask
+        # linearity
+        got = np.asarray(M(2.5 * x - 1.5 * y))
+        want = np.asarray(2.5 * M(x) - 1.5 * M(y))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+        # symmetry <Mx, y> == <x, My>
+        assert np.isclose(float(jnp.vdot(M(x), y)), float(jnp.vdot(x, M(y))),
+                          rtol=1e-10)
+
+    def test_mg_cg_matches_jacobi_cg_and_is_faster(self):
+        grid, op, mask, f, scale = self._problem((16, 8, 4), contrast=True)
+        A = lambda v: op.apply(v, scale, mask)
+        diag = op.diagonal(scale, mask)
+        sol_j = cg_solve(A, f, M=lambda r: r / diag, rtol=1e-10, maxiter=50000)
+        mg = MultigridPreconditioner(op, smooth_iters=2)
+        M = mg.preconditioner_factory()(scale, mask)
+        sol_m = cg_solve(A, f, M=M, rtol=1e-10, maxiter=5000)
+        np.testing.assert_allclose(
+            np.asarray(sol_m.u), np.asarray(sol_j.u), rtol=1e-6, atol=1e-9
+        )
+        assert int(sol_m.iterations) < int(sol_j.iterations) / 3, (
+            int(sol_m.iterations), int(sol_j.iterations))
+
+    def test_optimize_with_multigrid_matches_jacobi(self):
+        """Full SIMP trajectory identical under either preconditioner."""
+        nels = (8, 4, 4)
+        grid = et.generate_grid(nels, (0.0, 0.0, 0.0),
+                                tuple(float(n) for n in nels))
+        bc = et.apply_fixed_boundary(
+            grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+        load = et.PointLoad(
+            et.select_nodes_by_box(grid, [8, 0, 0], [8, 0, 4]),
+            [0.0, -1.0, 0.0])
+
+        def run(precond):
+            params = et.OptimizationParameters(
+                E0=100.0, Emin=1e-6, volume_fraction=0.4, max_iterations=6,
+                tolerance=0.01, filter_radius=1.5, dtype="float64",
+                cg_rtol=1e-12, preconditioner=precond)
+            return et.simp_optimize(grid, [load], [bc], params)
+
+        res_j = run("jacobi")
+        res_m = run("multigrid")
+        np.testing.assert_allclose(res_m.energy_history, res_j.energy_history,
+                                   rtol=1e-8)
+        np.testing.assert_allclose(res_m.densities, res_j.densities, atol=1e-7)
+        assert sum(res_m.cg_iterations_history) < sum(res_j.cg_iterations_history)
