@@ -29,6 +29,8 @@ __all__ = [
     "hex8_b_matrices",
     "tet4_stiffness_batch",
     "hex8_stiffness_batch",
+    "element_stiffness_batch_np",
+    "shape_integrals_batch_np",
 ]
 
 # VTK / Ferrite RefHexahedron vertex order, as unit-cube corner offsets.
@@ -232,6 +234,95 @@ def _b_matrix_batch(dNdx):
         axis=-2,
     )  # (n, a, 6, 3)
     return blocks.transpose(0, 2, 1, 3).reshape(n, 6, 3 * a).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy, float64) batched elements — one-time precompute for the
+# unstructured operator.  Always double precision regardless of the device
+# dtype (the unit-ke cache is the analogue of the reference's
+# initialize_element_cache and must not inherit fp32 truncation).
+# ---------------------------------------------------------------------------
+
+def _b_matrix_batch_np(dNdx):
+    n, a, _ = dNdx.shape
+    B = np.zeros((n, 6, 3 * a), dtype=np.float64)
+    dx, dy, dz = dNdx[..., 0], dNdx[..., 1], dNdx[..., 2]
+    idx = 3 * np.arange(a)
+    B[:, 0, idx + 0] = dx
+    B[:, 1, idx + 1] = dy
+    B[:, 2, idx + 2] = dz
+    B[:, 3, idx + 0] = dy
+    B[:, 3, idx + 1] = dx
+    B[:, 4, idx + 1] = dz
+    B[:, 4, idx + 2] = dy
+    B[:, 5, idx + 0] = dz
+    B[:, 5, idx + 2] = dx
+    return B
+
+
+def element_stiffness_batch_np(coords, E=1.0, nu=0.3):
+    """Batched unit-modulus ke in numpy float64.
+
+    coords: (n, 4, 3) tet4 or (n, 8, 3) hex8 (VTK order).
+    Returns (ke (n, d, d), volumes (n,)).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n, nn, _ = coords.shape
+    D = elasticity_matrix(E, nu)
+    if nn == 4:
+        J = coords[:, 1:4, :] - coords[:, 0:1, :]
+        detJ = np.linalg.det(J)
+        vol = detJ / 6.0
+        invJ = np.linalg.inv(J)
+        dNdL = np.array([[-1.0, -1.0, -1.0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+        dNdx = np.einsum("ai,nxi->nax", dNdL, invJ)
+        B = _b_matrix_batch_np(dNdx)
+        ke = np.einsum("nia,ij,njb,n->nab", B, D, B, vol)
+    elif nn == 8:
+        pts, wts = _gauss_points_2x2x2()
+        ke = np.zeros((n, 24, 24), dtype=np.float64)
+        vol = np.zeros(n, dtype=np.float64)
+        for q in range(8):
+            dNdxi = _hex8_shape_gradients_ref(pts[q])
+            J = np.einsum("ai,naj->nij", dNdxi, coords)
+            detJ = np.linalg.det(J)
+            invJ = np.linalg.inv(J)
+            dNdx = np.einsum("ai,nxi->nax", dNdxi, invJ)
+            B = _b_matrix_batch_np(dNdx)
+            w = wts[q] * detJ
+            ke += np.einsum("nia,ij,njb,n->nab", B, D, B, w)
+            vol += w
+    else:
+        raise ValueError(f"unsupported element with {nn} nodes")
+    return 0.5 * (ke + ke.transpose(0, 2, 1)), vol
+
+
+def shape_integrals_batch_np(coords):
+    """integral(N_a) dOmega per element node, numpy float64: (n, nn).
+
+    Used by the variable-density body force (the reference integrates this
+    with cell quadrature per element, FiniteElementAnalysis.jl:504-517).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n, nn, _ = coords.shape
+    if nn == 4:
+        J = coords[:, 1:4, :] - coords[:, 0:1, :]
+        vol = np.linalg.det(J) / 6.0
+        return np.repeat(vol[:, None] / 4.0, 4, axis=1)
+    if nn == 8:
+        pts, wts = _gauss_points_2x2x2()
+        out = np.zeros((n, 8), dtype=np.float64)
+        for q in range(8):
+            xi = pts[q]
+            s = _XI
+            N = 0.125 * (1 + s[:, 0] * xi[0]) * (1 + s[:, 1] * xi[1]) \
+                * (1 + s[:, 2] * xi[2])
+            dNdxi = _hex8_shape_gradients_ref(xi)
+            J = np.einsum("ai,naj->nij", dNdxi, coords)
+            detJ = np.linalg.det(J)
+            out += wts[q] * detJ[:, None] * N[None, :]
+        return out
+    raise ValueError(f"unsupported element with {nn} nodes")
 
 
 def hex8_stiffness_batch(coords, E=1.0, nu=0.3):

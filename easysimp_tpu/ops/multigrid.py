@@ -136,8 +136,12 @@ class MultigridPreconditioner:
         op = self.ops[lvl]
         shape = (*op.grid.nnodes_per_axis, 3)
         # Deterministic pseudo-random start with broad spectral content.
+        # Integer Knuth-hash instead of sin(large x): TPU transcendentals are
+        # not accurate/finite for arguments ~1e7, which poisoned the omega
+        # estimate (and the whole V-cycle) with NaNs.
         n = int(np.prod(shape))
-        v = jnp.sin(jnp.arange(1, n + 1, dtype=self.dtype) * 12.9898)
+        h = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        v = (h >> 8).astype(self.dtype) / jnp.asarray(2.0**24, self.dtype) - 0.5
         v = v.reshape(shape) * mask
         lam = jnp.asarray(1.0, self.dtype)
         for _ in range(self.power_iters):

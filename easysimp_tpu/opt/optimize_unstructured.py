@@ -1,0 +1,304 @@
+"""SIMP driver for imported unstructured meshes (tet4 / hex8).
+
+Same iteration semantics as the voxel driver (see optimize.py and
+src/Optimization/Optimization.jl:178-565); the differences are mechanical:
+flat (n_cells,) density vectors, flat (3*n_nodes,) dof vectors, the
+gather/segment-add UnstructuredOperator, padded-neighbor-list filters, and a
+Jacobi-preconditioned CG (geometric multigrid needs the voxel hierarchy; an
+algebraic hierarchy is future work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bcs import build_free_mask
+from ..config import default_dtype
+from ..loads import build_load_field
+from ..ops.cg import cg_solve
+from ..ops.elements import element_stiffness_batch_np, shape_integrals_batch_np
+from ..ops.filters import UnstructuredFilter
+from ..ops.oc import oc_update, sensitivity_health
+from ..ops.operator import UnstructuredOperator
+from ..params import OptimizationParameters, OptimizationResult
+from ..utils.terminal import (
+    print_data,
+    print_info,
+    print_success,
+    print_warning,
+)
+
+__all__ = ["simp_optimize_unstructured", "build_unstructured_step"]
+
+
+def _resolve_dtype(params):
+    if params.dtype == "auto":
+        return default_dtype()
+    return jnp.dtype(params.dtype)
+
+
+class UnstructuredStep:
+    def __init__(self, mesh, op, filt, step, solve, design0, u0,
+                 element_volumes, total_volume, dtype, use_density_filter,
+                 shape_integrals):
+        self.mesh = mesh
+        self.op = op
+        self.filt = filt
+        self.step = step
+        self.solve = solve
+        self.design0 = design0
+        self.u0 = u0
+        self.element_volumes = element_volumes
+        self.total_volume = total_volume
+        self.dtype = dtype
+        self.use_density_filter = use_density_filter
+        self.shape_integrals = shape_integrals
+
+
+def build_unstructured_step(mesh, loads, boundary_conditions,
+                            params: OptimizationParameters,
+                            acceleration_data=None) -> UnstructuredStep:
+    dtype = _resolve_dtype(params)
+
+    coords = mesh.node_coords[mesh.connectivity]       # (E, nn, 3)
+    ke_unit, vols = element_stiffness_batch_np(coords, E=1.0, nu=params.nu)
+    op = UnstructuredOperator(
+        ke_unit, mesh.connectivity, mesh.n_nodes, E0=params.E0,
+        Emin=params.Emin, nu=params.nu, p=params.p, dtype=dtype,
+    )
+    element_volumes = jnp.asarray(vols, dtype=dtype)
+    total_volume = float(vols.sum())
+
+    radius = params.filter_radius * mesh.characteristic_element_size
+    filt = UnstructuredFilter(mesh.cell_centers, vols, radius, dtype=dtype)
+    use_density_filter = params.filter_type == "density"
+
+    free_mask = jnp.asarray(build_free_mask(mesh, boundary_conditions),
+                            dtype=dtype)
+    f_ext = jnp.asarray(build_load_field(mesh, loads).reshape(-1), dtype=dtype)
+
+    shape_integrals = None
+    if acceleration_data is not None:
+        accel_vec, base_density = acceleration_data
+        shape_integrals = jnp.asarray(shape_integrals_batch_np(coords),
+                                      dtype=dtype)
+        accel = jnp.asarray(accel_vec, dtype=dtype)
+
+    vol_sens_physical = element_volumes / total_volume
+    vol_sens = (filt.chain_rule(vol_sens_physical) if use_density_filter
+                else vol_sens_physical)
+
+    design0 = jnp.full(mesh.n_cells, params.volume_fraction, dtype=dtype)
+    u0 = jnp.zeros(mesh.n_dofs, dtype=dtype)
+    dofmap = op.dofmap
+
+    def body_force(phys):
+        # f_a += rho_e * base_density * integral(N_a) * accel, skipping
+        # rho < 1e-6 (FiniteElementAnalysis.jl:486-526).
+        w = jnp.where(phys < 1e-6, 0.0, phys) * base_density
+        fe = (w[:, None] * shape_integrals)[:, :, None] * accel[None, None, :]
+        out = jnp.zeros(mesh.n_dofs, dtype=dtype)
+        return out.at[dofmap].add(fe.reshape(fe.shape[0], -1))
+
+    def forward(design, u_prev):
+        phys = filt.density_filter(design) if use_density_filter else design
+        scale = op.youngs_modulus(phys)
+        f = f_ext if shape_integrals is None else f_ext + body_force(phys)
+        f_bc = f * free_mask
+        A = lambda v: op.apply(v, scale, free_mask)
+        diag = op.diagonal(scale, free_mask)
+        M = lambda r: r / diag
+        sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
+                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+        energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
+        volume = jnp.sum(phys * element_volumes)
+        return phys, sol, energy, volume
+
+    def step(design, u_prev):
+        phys, sol, energy, volume = forward(design, u_prev)
+        u = sol.u
+        sens = op.compliance_sensitivities(u, phys)
+        if use_density_filter:
+            fsens = filt.chain_rule(sens)
+            apply_phys = filt.density_filter
+        else:
+            fsens = filt.sensitivity_filter(design, sens)
+            apply_phys = None
+        new_design, lam, bisect_iters = oc_update(
+            design, fsens, vol_sens, params.volume_fraction, total_volume,
+            element_volumes, params.move_limit, params.damping, apply_phys,
+        )
+        change = jnp.max(jnp.abs(new_design - design))
+        grayness = jnp.mean(
+            jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype))
+        max_disp = jnp.max(jnp.abs(u))
+        frac_neg, med, rng = sensitivity_health(fsens)
+        return (new_design, u, phys, energy, volume, change, lam, grayness,
+                max_disp, sol.iterations, sol.residual_norm, bisect_iters,
+                frac_neg, med, rng)
+
+    def solve_only(design):
+        phys, sol, energy, _ = forward(design, jnp.zeros_like(u0))
+        return phys, sol.u, energy
+
+    return UnstructuredStep(mesh, op, filt, step, solve_only, design0, u0,
+                            element_volumes, total_volume, dtype,
+                            use_density_filter, shape_integrals)
+
+
+def simp_optimize_unstructured(mesh, loads, boundary_conditions,
+                               params: OptimizationParameters,
+                               acceleration_data=None) -> OptimizationResult:
+    print_info("Starting SIMP topology optimization (unstructured path)")
+    logger = None
+    if params.export_path:
+        from .logger import OptimizationLogger
+
+        logger = OptimizationLogger(params.export_path, params.task_name)
+    if acceleration_data is not None:
+        print_info(
+            f"Variable density acceleration enabled: {acceleration_data[0]}")
+    print_data(f"Total mesh volume: {mesh.total_volume}")
+
+    us = build_unstructured_step(mesh, loads, boundary_conditions, params,
+                                 acceleration_data)
+    step_jit = jax.jit(us.step)
+    solve_jit = jax.jit(us.solve)
+    total_volume = us.total_volume
+
+    design, u = us.design0, us.u0
+    energy_history, volume_history = [], []
+    change_history, cg_history = [], []
+    checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
+
+    converged = False
+    iteration = 0
+    warned_health = False
+
+    for it in range(1, params.max_iterations + 1):
+        iteration = it
+        (new_design, u, phys, energy, volume, change, lam, grayness,
+         max_disp, cg_iters, _, _, frac_neg, _, rng) = step_jit(design, u)
+
+        energy, volume, change = float(energy), float(volume), float(change)
+        vol_frac = volume / total_volume
+        energy_history.append(energy)
+        volume_history.append(volume)
+        change_history.append(change)
+        cg_history.append(int(cg_iters))
+
+        if not warned_health:
+            if float(frac_neg) < 0.5:
+                print_warning(
+                    "Less than 50% of sensitivities are negative. Check if "
+                    "energy sensitivities are computed correctly.")
+                warned_health = True
+            elif float(rng) > 1e8:
+                print_warning(
+                    f"Sensitivity range too large (max/median: "
+                    f"{float(rng):.3e}).")
+                warned_health = True
+
+        if logger is not None:
+            logger.log_iteration(it, energy, vol_frac, change, float(lam),
+                                 float(grayness), float(max_disp))
+        print(
+            f"Iter {it:4d} | Energy: {energy:.4e} | Vol.Frac: {vol_frac:.4f} "
+            f"| Change: {change:.4e} | CG: {int(cg_iters):4d}"
+        )
+
+        if params.tolerance_checkpoints and params.export_path:
+            for idx, cp in enumerate(params.tolerance_checkpoints):
+                if not checkpoint_triggered[idx] and change < cp:
+                    checkpoint_triggered[idx] = True
+                    print_info(
+                        f"Tolerance checkpoint {cp} reached at iteration {it}")
+                    _export_intermediate(
+                        us, params, phys, u, energy, volume, it,
+                        energy_history, volume_history,
+                        name=f"final_results_{int(round(cp * 100)):02d}tol")
+
+        if (params.export_interval > 0 and it % params.export_interval == 0
+                and params.export_path):
+            _export_intermediate(
+                us, params, phys, u, energy, volume, it,
+                energy_history, volume_history, name=f"iter_{it:04d}")
+
+        design = new_design
+        if change < params.tolerance:
+            print_success(f"Converged after {it} iterations")
+            converged = True
+            break
+
+    phys, u, final_energy = solve_jit(design)
+    final_energy = float(final_energy)
+    final_volume = float(jnp.sum(phys * us.element_volumes))
+
+    from ..stress import unstructured_stresses
+
+    stresses = unstructured_stresses(
+        us.mesh, np.asarray(u, dtype=np.float64),
+        np.asarray(phys, dtype=np.float64),
+        params.E0, params.Emin, params.nu, params.p)
+    print_data(
+        f"Maximum von Mises stress: {stresses.max_von_mises} "
+        f"at cell {stresses.max_vm_cell}")
+    elem_energies = np.asarray(
+        0.5 * us.op.youngs_modulus(phys) * us.op.element_energies_unit(u),
+        dtype=np.float64)
+
+    if logger is not None:
+        logger.write_summary(final_energy, final_volume, converged)
+        logger.close()
+
+    print_success("Optimization completed")
+    print_data(f"Final energy: {final_energy}")
+    print_data(f"Final volume fraction: {final_volume / total_volume}")
+
+    return OptimizationResult(
+        densities=np.asarray(phys, dtype=np.float64),
+        displacements=np.asarray(u, dtype=np.float64),
+        stresses=stresses,
+        energy=final_energy,
+        volume=final_volume,
+        iterations=iteration,
+        converged=converged,
+        energy_history=energy_history,
+        volume_history=volume_history,
+        cg_iterations_history=cg_history,
+        change_history=change_history,
+        element_energies=elem_energies,
+    )
+
+
+def _export_intermediate(us, params, phys, u, energy, volume, iteration,
+                         energy_history, volume_history, name):
+    import os
+
+    from ..post.vtu import create_results_data, export_main_results
+    from ..stress import unstructured_stresses
+
+    stresses = unstructured_stresses(
+        us.mesh, np.asarray(u, dtype=np.float64),
+        np.asarray(phys, dtype=np.float64),
+        params.E0, params.Emin, params.nu, params.p)
+    elem_energies = np.asarray(
+        0.5 * us.op.youngs_modulus(phys) * us.op.element_energies_unit(u),
+        dtype=np.float64)
+    interim = OptimizationResult(
+        densities=np.asarray(phys, dtype=np.float64),
+        displacements=np.asarray(u, dtype=np.float64),
+        stresses=stresses,
+        energy=float(energy),
+        volume=float(volume),
+        iterations=iteration,
+        converged=False,
+        energy_history=list(energy_history),
+        volume_history=list(volume_history),
+        element_energies=elem_energies,
+    )
+    data = create_results_data(us.mesh, interim)
+    export_main_results(data, os.path.join(params.export_path, name))
+    print_success(f"Exported: {name}.vtu")

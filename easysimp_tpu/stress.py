@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from .ops.elements import hex8_b_matrices, lame_parameters, simp_youngs_modulus
 
-__all__ = ["StressField", "voxel_stresses", "von_mises_from_voigt"]
+__all__ = ["StressField", "voxel_stresses", "unstructured_stresses",
+           "von_mises_from_voigt"]
 
 _VOIGT_TR = slice(0, 3)
 
@@ -92,6 +93,81 @@ def voxel_stress_arrays(grid, u_field, rho_phys, E0, Emin, nu, p):
     avg = jnp.mean(sig, axis=-2)
     vm = von_mises_from_voigt(avg)
     return sig, avg, vm
+
+
+def _von_mises_np(sig):
+    sxx, syy, szz = sig[..., 0], sig[..., 1], sig[..., 2]
+    sxy, syz, sxz = sig[..., 3], sig[..., 4], sig[..., 5]
+    return np.sqrt(np.maximum(
+        0.0,
+        sxx**2 + syy**2 + szz**2 - sxx * syy - syy * szz - szz * sxx
+        + 3.0 * (sxy**2 + syz**2 + sxz**2)))
+
+
+def unstructured_stresses(mesh, u_flat, rho_phys, E0, Emin, nu, p) -> StressField:
+    """Host-side (numpy float64) stress recovery for imported meshes.
+
+    One-shot per run (final analysis / checkpoint exports), so host numpy is
+    the right cost/complexity point; batched over all elements.
+    """
+    from .ops.elements import (
+        _b_matrix_batch_np,
+        _gauss_points_2x2x2,
+        _hex8_shape_gradients_ref,
+    )
+
+    coords = mesh.node_coords[mesh.connectivity]       # (E, nn, 3)
+    nn = coords.shape[1]
+    dofmap = (3 * mesh.connectivity[:, :, None] + np.arange(3)).reshape(
+        mesh.n_cells, -1)
+    ue = np.asarray(u_flat, dtype=np.float64)[dofmap]  # (E, 3nn)
+
+    E_arr = simp_youngs_modulus(np.asarray(rho_phys, dtype=np.float64),
+                                E0, Emin, p)
+    lam, mu = lame_parameters(E_arr, nu)
+
+    def sigma_from_eps(eps):
+        tr = eps[..., 0] + eps[..., 1] + eps[..., 2]
+        sig = np.empty_like(eps)
+        for c in range(3):
+            sig[..., c] = lam * tr + 2.0 * mu * eps[..., c]
+        for c in range(3, 6):
+            sig[..., c] = mu * eps[..., c]   # engineering shear
+        return sig
+
+    if nn == 4:
+        J = coords[:, 1:4, :] - coords[:, 0:1, :]
+        invJ = np.linalg.inv(J)
+        dNdL = np.array([[-1.0, -1.0, -1.0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+        dNdx = np.einsum("ai,nxi->nax", dNdL, invJ)
+        B = _b_matrix_batch_np(dNdx)                   # (E, 6, 12)
+        eps = np.einsum("nck,nk->nc", B, ue)
+        sig = sigma_from_eps(eps)
+        qp = sig[:, None, :]                           # single qp
+        avg = sig
+    else:
+        pts, wts = _gauss_points_2x2x2()
+        qps = []
+        for q in range(8):
+            dNdxi = _hex8_shape_gradients_ref(pts[q])
+            Jq = np.einsum("ai,naj->nij", dNdxi, coords)
+            invJ = np.linalg.inv(Jq)
+            dNdx = np.einsum("ai,nxi->nax", dNdxi, invJ)
+            B = _b_matrix_batch_np(dNdx)
+            eps = np.einsum("nck,nk->nc", B, ue)
+            qps.append(sigma_from_eps(eps))
+        qp = np.stack(qps, axis=1)                     # (E, 8, 6)
+        avg = qp.mean(axis=1)
+
+    vm = _von_mises_np(avg)
+    imax = int(np.argmax(vm))
+    return StressField(
+        qp_stresses=qp,
+        avg_stresses=avg,
+        von_mises=vm,
+        max_von_mises=float(vm[imax]),
+        max_vm_cell=imax,
+    )
 
 
 def voxel_stresses(grid, u_field, rho_phys, E0, Emin, nu, p) -> StressField:
