@@ -50,7 +50,17 @@ def build_basic(nels=(60, 20, 4), **overrides):
 
 
 def build_sliding(nels=(60, 20, 4), **overrides):
-    """02_sliding_support.jl: X-sliding wall, Y-roller, load at the far top."""
+    """02_sliding_support.jl: X-sliding wall, Y-roller, load at the far top.
+
+    Deliberate deviation (documented per SURVEY.md §7): the reference's BC set
+    leaves rigid modes unconstrained — the Z translation AND the rotation
+    about the x-parallel axis through the two point supports — a positive
+    SEMI-definite system that its own runtests disable (RUN_BEAM_slide=false,
+    runtests.jl:12).  A direct solver may limp through rank deficiency; an
+    iterative solver should not be asked to.  We add two Z pins (the device
+    the reference's own MBB example uses for rigid-body suppression,
+    06_3D_2x1x1_MBB.jl:65-78,110) which together kill both modes.
+    """
     grid = _grid(nels)
     nx, ny, nz = grid.nels
     sliding = select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-3)
@@ -62,9 +72,14 @@ def build_sliding(nels=(60, 20, 4), **overrides):
         grid, [0.0, float(ny), nz / 2.0], [1.0, 0.0, 0.0], 1.0)
     if len(force) == 0:
         force = np.array([closest_node(grid, [0.0, float(ny), nz / 2.0])])
+    z_pins = np.array([
+        closest_node(grid, [0.0, 0.0, 0.0]),
+        closest_node(grid, [0.0, float(ny), 0.0]),
+    ])
     bcs = [
         apply_sliding_boundary(grid, sliding, [0]),   # fix X only
         apply_sliding_boundary(grid, support, [1]),   # fix Y only
+        apply_sliding_boundary(grid, z_pins, [2]),    # Z pins (see docstring)
     ]
     loads = [PointLoad(force, [0.0, -1.0, 0.0])]
     kw = dict(E0=200.0, Emin=1e-6, nu=0.3, p=3.0, volume_fraction=0.4,

@@ -38,6 +38,38 @@ __all__ = [
 ]
 
 
+def _fixed_radius_csr(centers, radius):
+    """All-pairs fixed-radius neighbors as CSR (offsets, idx, cone weights).
+
+    Prefers the native C++ grid-hash search (easysimp_tpu/native) — the
+    KD-tree replacement for large imported meshes — and falls back to
+    scipy.cKDTree."""
+    try:
+        from ..native import is_available, neighbor_search
+
+        if is_available():
+            return neighbor_search(centers, radius)
+    except Exception:
+        pass  # fall through to scipy
+
+    from scipy.spatial import cKDTree
+
+    n = centers.shape[0]
+    tree = cKDTree(centers)
+    lists = tree.query_ball_point(centers, r=radius)
+    counts = np.array([len(l) for l in lists], dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    idx = np.empty(offsets[-1], dtype=np.int32)
+    weights = np.empty(offsets[-1], dtype=np.float64)
+    for i, l in enumerate(lists):
+        a = np.asarray(l, dtype=np.int32)
+        d = np.linalg.norm(centers[a] - centers[i], axis=1)
+        idx[offsets[i] : offsets[i + 1]] = a
+        weights[offsets[i] : offsets[i + 1]] = np.maximum(0.0, radius - d)
+    return offsets, idx, weights
+
+
 def _cone_kernel(spacing, radius):
     """Cone kernel max(0, R - d) over integer cell-center offsets, float64."""
     hx, hy, hz = (float(s) for s in spacing)
@@ -79,13 +111,18 @@ class VoxelFilter:
         )
 
     def _conv(self, x):
-        """SAME-padded 3-D convolution with the cone kernel."""
+        """SAME-padded 3-D convolution with the cone kernel.
+
+        precision=HIGHEST: the TPU default bf16 conv would truncate filter
+        weights/densities to ~3 decimal digits, breaking the exact-parity
+        filter semantics."""
         y = jax.lax.conv_general_dilated(
             x[None, None].astype(self.dtype),
             self._kernel,
             window_strides=(1, 1, 1),
             padding="SAME",
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y[0, 0]
 
@@ -122,23 +159,20 @@ class UnstructuredFilter:
 
     def __init__(self, cell_centers, element_volumes, filter_radius,
                  dtype=jnp.float32):
-        from scipy.spatial import cKDTree
-
         centers = np.asarray(cell_centers, dtype=np.float64)
         vols = np.asarray(element_volumes, dtype=np.float64)
         n = centers.shape[0]
         self.filter_radius = float(filter_radius)
-        tree = cKDTree(centers)
-        lists = tree.query_ball_point(centers, r=self.filter_radius)
-        max_nb = max(len(l) for l in lists)
+        offsets, idx, w_csr = _fixed_radius_csr(centers, self.filter_radius)
+        counts = np.diff(offsets)
+        max_nb = int(counts.max())
         nb = np.zeros((n, max_nb), dtype=np.int32)
         w = np.zeros((n, max_nb), dtype=np.float64)
-        for i, l in enumerate(lists):
-            idx = np.asarray(l, dtype=np.int32)
-            d = np.linalg.norm(centers[idx] - centers[i], axis=1)
-            weight = np.maximum(0.0, self.filter_radius - d)
-            nb[i, : idx.size] = idx
-            w[i, : idx.size] = weight  # padded entries keep weight 0
+        # CSR -> padded rows (padded entries keep weight 0)
+        cols = (np.arange(len(idx)) - np.repeat(offsets[:-1], counts))
+        rows = np.repeat(np.arange(n), counts)
+        nb[rows, cols] = idx
+        w[rows, cols] = w_csr
         self.neighbors = jnp.asarray(nb)
         self.weights = jnp.asarray(w, dtype=dtype)
         self.volumes = jnp.asarray(vols, dtype=dtype)
@@ -148,7 +182,7 @@ class UnstructuredFilter:
         self.wv_sum = jnp.sum(self.weights * self.volumes[self.neighbors], axis=1)
         print_data(
             f"FilterCache created: {n} cells, r={self.filter_radius:.4f}, "
-            f"avg_neighbors={np.mean([len(l) for l in lists]):.1f}"
+            f"avg_neighbors={counts.mean():.1f}"
         )
 
     def sensitivity_filter(self, design_rho, sens):

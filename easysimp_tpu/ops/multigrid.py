@@ -120,14 +120,30 @@ class MultigridPreconditioner:
 
     # ------------------------------------------------------------------
     def _coarsest_factor(self, scale_flat, mask_flat):
-        """Dense BC-masked stiffness at the coarsest level + its Cholesky."""
+        """Dense BC-masked stiffness at the coarsest level + its Cholesky.
+
+        A small RELATIVE diagonal shift keeps the factorization finite when
+        the problem is positive SEMI-definite (e.g. the reference's
+        02_sliding_support load case leaves the Z translation unconstrained;
+        its own runtests disable that example).  For loads orthogonal to the
+        nullspace — the only well-posed case — the shift only perturbs the
+        preconditioner, not the CG solution.
+        """
         op = self.ops[-1]
         vals = (scale_flat[:, None, None] * op.ke[None]).reshape(-1)
         n = self._coarse_ndofs
         K = jnp.zeros((n, n), dtype=self.dtype).at[self._rows, self._cols].add(vals)
         K = mask_flat[:, None] * K * mask_flat[None, :]
         K = K + jnp.diag(1.0 - mask_flat)
-        return jax.scipy.linalg.cho_factor(K)
+        # Symmetric diagonal scaling BEFORE factorizing: SIMP contrast (up to
+        # ~1e9 between void and solid moduli) lives almost entirely in the
+        # diagonal; factoring D^-1/2 K D^-1/2 (unit diagonal) keeps the fp32
+        # Cholesky finite where the raw factorization produced NaNs on TPU.
+        dinv_sqrt = 1.0 / jnp.sqrt(jnp.diagonal(K))
+        Ks = K * dinv_sqrt[:, None] * dinv_sqrt[None, :]
+        shift = 100.0 * jnp.finfo(self.dtype).eps
+        Ks = Ks + shift * jnp.eye(n, dtype=self.dtype)
+        return jax.scipy.linalg.cho_factor(Ks), dinv_sqrt
 
     def _estimate_lambda_max(self, lvl, scale, mask, diag):
         """Power iteration on D^{-1} A (same spectrum as the symmetrized
@@ -189,8 +205,11 @@ class MultigridPreconditioner:
     def _vcycle(self, lvl, state, r):
         if lvl == self.n_levels - 1:
             cgrid = self.ops[-1].grid
+            cho, dinv_sqrt = state["cho"]
             r_flat = r.transpose(2, 1, 0, 3).reshape(-1) * state["mask_flat"]
-            x_flat = jax.scipy.linalg.cho_solve(state["cho"], r_flat)
+            # Undo the symmetric diagonal scaling: K^-1 = D^-1/2 Ks^-1 D^-1/2
+            x_flat = dinv_sqrt * jax.scipy.linalg.cho_solve(
+                cho, dinv_sqrt * r_flat)
             x_flat = x_flat * state["mask_flat"]
             nnx, nny, nnz = cgrid.nnodes_per_axis
             return x_flat.reshape(nnz, nny, nnx, 3).transpose(2, 1, 0, 3)

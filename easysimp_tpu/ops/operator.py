@@ -96,10 +96,17 @@ class VoxelOperator:
 
         Shared between the matvec and the compliance sensitivity
         (s_e needs u_e^T ke u_e; reference SensitivityAnalysis.jl:74-78).
+
+        precision=HIGHEST is load-bearing: the TPU MXU's default bf16
+        single-pass matmul floors the achievable CG residual at ~1e-3 and
+        stalls the solver; the 3/6-pass fp32-accurate mode costs little here
+        (the op is HBM-bandwidth-bound, not FLOP-bound).
         """
         ue = gather_element_dofs(u)
         shp = ue.shape
-        q = ue.reshape(-1, 24) @ self.ke  # ke symmetric; (N,24)@(24,24) on MXU
+        # ke symmetric; (N,24)@(24,24) on the MXU
+        q = jnp.dot(ue.reshape(-1, 24), self.ke,
+                    precision=jax.lax.Precision.HIGHEST)
         return ue, q.reshape(shp)
 
     def apply_K(self, u, scale):
@@ -172,7 +179,8 @@ class UnstructuredOperator:
 
     def apply_elements(self, u):
         ue = u[self.dofmap]                                  # (E, d)
-        q = jnp.einsum("eij,ej->ei", self.ke, ue)
+        q = jnp.einsum("eij,ej->ei", self.ke, ue,
+                       precision=jax.lax.Precision.HIGHEST)
         return ue, q
 
     def apply_K(self, u, scale):
