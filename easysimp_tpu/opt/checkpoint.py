@@ -1,0 +1,65 @@
+"""Optimization checkpoint/resume.
+
+The reference can only EXPORT intermediate VTUs (write-only,
+src/Optimization/Optimization.jl:448-477); there is no way to restart an
+optimization (SURVEY.md §5.4).  Here the full optimizer state — DESIGN-space
+densities, warm-start displacement field, iteration counter, histories, and
+the tolerance-checkpoint flags — round-trips through a single .npz file, so
+long runs survive preemption (a first-class concern on TPU fleets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.terminal import print_info, print_success
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path, *, design, u, iteration, energy_history,
+                    volume_history, change_history, cg_history,
+                    checkpoint_triggered, converged=False) -> str:
+    """Write optimizer state; arrays are stored in float64."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez_compressed(
+        path,
+        format_version=_FORMAT_VERSION,
+        design=np.asarray(design, dtype=np.float64),
+        u=np.asarray(u, dtype=np.float64),
+        iteration=int(iteration),
+        energy_history=np.asarray(energy_history, dtype=np.float64),
+        volume_history=np.asarray(volume_history, dtype=np.float64),
+        change_history=np.asarray(change_history, dtype=np.float64),
+        cg_history=np.asarray(cg_history, dtype=np.int64),
+        checkpoint_triggered=np.asarray(checkpoint_triggered, dtype=bool),
+        converged=bool(converged),
+    )
+    print_success(f"Checkpoint saved: {path} (iteration {iteration})")
+    return path
+
+
+def load_checkpoint(path) -> dict:
+    """Load optimizer state saved by `save_checkpoint`."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path) as z:
+        version = int(z["format_version"])
+        if version != _FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {version}")
+        state = {
+            "design": z["design"],
+            "u": z["u"],
+            "iteration": int(z["iteration"]),
+            "energy_history": z["energy_history"].tolist(),
+            "volume_history": z["volume_history"].tolist(),
+            "change_history": z["change_history"].tolist(),
+            "cg_history": [int(v) for v in z["cg_history"]],
+            "checkpoint_triggered": z["checkpoint_triggered"].tolist(),
+            "converged": bool(z["converged"]),
+        }
+    print_info(f"Checkpoint loaded: {path} (iteration {state['iteration']})")
+    return state

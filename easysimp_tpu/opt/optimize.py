@@ -208,7 +208,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
 
 def simp_optimize(grid, loads, boundary_conditions,
                   params: OptimizationParameters, acceleration_data=None,
-                  mesh=None) -> OptimizationResult:
+                  mesh=None, resume_from=None) -> OptimizationResult:
     """Run SIMP topology optimization.
 
     Args:
@@ -221,6 +221,8 @@ def simp_optimize(grid, loads, boundary_conditions,
       mesh: optional jax.sharding.Mesh ("x","y","z") — domain-decomposes the
         voxel grid over devices; XLA/GSPMD inserts ICI halo exchanges for the
         stencil and filter ops and psums for the CG reductions.
+      resume_from: optional checkpoint path (see opt/checkpoint.py) —
+        restores design/displacements/iteration/histories and continues.
     """
     if not isinstance(grid, VoxelGrid):
         from .optimize_unstructured import simp_optimize_unstructured
@@ -254,19 +256,57 @@ def simp_optimize(grid, loads, boundary_conditions,
     change_history: list[float] = []
     cg_history: list[int] = []
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
+    start_iteration = 1
+    if resume_from:
+        from .checkpoint import load_checkpoint
+
+        state = load_checkpoint(resume_from)
+        design = jnp.asarray(state["design"], dtype=vs.dtype)
+        u = jnp.asarray(state["u"], dtype=vs.dtype)
+        start_iteration = state["iteration"] + 1
+        energy_history = state["energy_history"]
+        volume_history = state["volume_history"]
+        change_history = state["change_history"]
+        cg_history = state["cg_history"]
+        if state["checkpoint_triggered"]:
+            checkpoint_triggered = state["checkpoint_triggered"]
     if params.tolerance_checkpoints:
         print_info(
             f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
 
     converged = False
-    iteration = 0
+    iteration = start_iteration - 1
     warned_health = False
 
-    for it in range(1, params.max_iterations + 1):
+    def _maybe_save_checkpoint(it, design, u):
+        if params.checkpoint_interval > 0 and params.checkpoint_path and \
+                it % params.checkpoint_interval == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                params.checkpoint_path,
+                design=np.asarray(design), u=np.asarray(u), iteration=it,
+                energy_history=energy_history, volume_history=volume_history,
+                change_history=change_history, cg_history=cg_history,
+                checkpoint_triggered=checkpoint_triggered,
+            )
+
+    profile_ctx = None
+    for it in range(start_iteration, params.max_iterations + 1):
         iteration = it
+        if params.profile_dir and it == 2:
+            import jax.profiler as _profiler
+
+            profile_ctx = _profiler.trace(params.profile_dir)
+            profile_ctx.__enter__()
         (new_design, u, phys, energy, volume, change, lam, grayness,
          max_disp, cg_iters, cg_res, bisect_iters, frac_neg, med, rng) = \
             step_jit(design, u)
+        if profile_ctx is not None and it >= 4:
+            jax.block_until_ready(u)
+            profile_ctx.__exit__(None, None, None)
+            profile_ctx = None
+            print_info(f"Profiler trace written to {params.profile_dir}")
 
         energy = float(energy)
         volume = float(volume)
@@ -327,10 +367,14 @@ def simp_optimize(grid, loads, boundary_conditions,
             )
 
         design = new_design
+        _maybe_save_checkpoint(it, design, u)
         if change < params.tolerance:
             print_success(f"Converged after {it} iterations")
             converged = True
             break
+
+    if profile_ctx is not None:  # max_iterations < 4
+        profile_ctx.__exit__(None, None, None)
 
     # ----- final analysis (Optimization.jl:494-539) -----------------------------
     phys, u, final_energy = solve_jit(design)

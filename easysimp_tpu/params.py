@@ -55,6 +55,12 @@ class OptimizationParameters:
     mg_levels: int = 0                  # 0 = auto depth
     mg_smooth_iters: int = 2
 
+    # --- checkpoint/resume + profiling (capabilities the reference lacks,
+    #     SURVEY.md §5.1/§5.4) ---
+    checkpoint_interval: int = 0        # save state every N iterations
+    checkpoint_path: str = ""           # .npz state file
+    profile_dir: str = ""               # jax.profiler trace of iterations 2-4
+
     def __post_init__(self):
         if self.filter_type not in ("sensitivity", "density"):
             raise ValueError(

@@ -81,16 +81,31 @@ def write_vtu(path, points, cells, cell_type, cell_data=None, point_data=None,
     """
     path = _ensure_vtu(path)
     points = np.ascontiguousarray(np.asarray(points, dtype=np.float64))
-    cells = np.ascontiguousarray(np.asarray(cells, dtype=np.int64))
-    n_points, n_cells = points.shape[0], cells.shape[0]
+    n_points = points.shape[0]
 
-    if np.isscalar(cell_type):
-        types = np.full(n_cells, int(cell_type), dtype=np.uint8)
+    if isinstance(cells, (list, tuple)) and len(cells) > 0 and \
+            isinstance(cells[0], (list, tuple)):
+        # Mixed-type mesh: cells = [(vtk_type, conn (m_i, k_i)), ...]
+        conn_parts, type_parts, size_parts = [], [], []
+        for t, conn in cells:
+            conn = np.asarray(conn, dtype=np.int64)
+            conn_parts.append(conn.reshape(-1))
+            type_parts.append(np.full(conn.shape[0], int(t), dtype=np.uint8))
+            size_parts.append(
+                np.full(conn.shape[0], conn.shape[1], dtype=np.int64))
+        connectivity = np.concatenate(conn_parts)
+        types = np.concatenate(type_parts)
+        offsets = np.cumsum(np.concatenate(size_parts))
+        n_cells = types.shape[0]
     else:
-        types = np.asarray(cell_type, dtype=np.uint8)
-    offsets = np.cumsum(np.full(n_cells, cells.shape[1], dtype=np.int64)) \
-        if cells.ndim == 2 else None
-    connectivity = cells.reshape(-1)
+        cells = np.ascontiguousarray(np.asarray(cells, dtype=np.int64))
+        n_cells = cells.shape[0]
+        if np.isscalar(cell_type):
+            types = np.full(n_cells, int(cell_type), dtype=np.uint8)
+        else:
+            types = np.asarray(cell_type, dtype=np.uint8)
+        offsets = np.cumsum(np.full(n_cells, cells.shape[1], dtype=np.int64))
+        connectivity = cells.reshape(-1)
 
     blocks: list[bytes] = []
     arrays_xml: list[str] = []
