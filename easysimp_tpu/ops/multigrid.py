@@ -87,8 +87,11 @@ class MultigridPreconditioner:
     """Symmetric V-cycle preconditioner for the masked voxel operator."""
 
     def __init__(self, fine_op: VoxelOperator, levels: int = 0,
-                 smooth_iters: int = 2, power_iters: int = 12):
+                 smooth_iters: int = 2, power_iters: int = 0):
         self.smooth_iters = int(smooth_iters)
+        # power_iters=0 (default): use the Gershgorin bound for the smoother
+        # omega — one diagonal-style stencil pass instead of 12 matvecs per
+        # level per SIMP iteration (the power iteration dominated MG setup).
         self.power_iters = int(power_iters)
         self.dtype = fine_op.dtype
 
@@ -178,10 +181,17 @@ class MultigridPreconditioner:
         for lvl in range(self.n_levels):
             diag = self.ops[lvl].diagonal(scales[lvl], masks[lvl])
             diags.append(diag)
-            lam = self._estimate_lambda_max(lvl, scales[lvl], masks[lvl], diag)
-            # omega = 4/(3 lam_max) with 5% headroom: contraction factor
-            # ~1/3 on the upper half-spectrum, |1 - w*lam| < 1 everywhere.
-            omegas.append(4.0 / (3.0 * 1.05 * lam))
+            if self.power_iters > 0:
+                lam = self._estimate_lambda_max(lvl, scales[lvl], masks[lvl],
+                                                diag)
+                lam = 1.05 * lam  # headroom for an under-converged estimate
+            else:
+                # Gershgorin: lam_max(D^-1 A) <= max_i rowabs_i / diag_i.
+                rowabs = self.ops[lvl].row_abs_sums(scales[lvl], masks[lvl])
+                lam = jnp.max(rowabs / diag)
+            # omega = 4/(3 lam): contraction ~1/3 on the upper half-spectrum
+            # at the true lam_max, |1 - w*lam| < 1 everywhere below the bound.
+            omegas.append(4.0 / (3.0 * lam))
 
         cg = self.ops[-1].grid
         # x-fastest flattening to match hex_connectivity numbering

@@ -84,6 +84,13 @@ class VoxelOperator:
             np.stack([np.diag(ke64)[3 * c : 3 * c + 3] for c in range(8)]),
             dtype=dtype,
         )  # (8, 3)
+        # Per-corner |ke| row sums — Gershgorin data for the smoother's
+        # lambda_max bound (see multigrid.py).
+        rowabs = np.abs(ke64).sum(axis=1)
+        self.ke_rowabs = jnp.asarray(
+            np.stack([rowabs[3 * c : 3 * c + 3] for c in range(8)]),
+            dtype=dtype,
+        )  # (8, 3)
 
     # ----- material -------------------------------------------------------
     def youngs_modulus(self, rho):
@@ -129,6 +136,18 @@ class VoxelOperator:
         for c, (dx, dy, dz) in enumerate(HEX_CORNERS):
             out = out.at[dx : dx + nx, dy : dy + ny, dz : dz + nz, :].add(
                 scale[..., None] * self.ke_diag[c][None, None, None, :]
+            )
+        return jnp.where(free_mask > 0, out, jnp.ones_like(out))
+
+    def row_abs_sums(self, scale, free_mask):
+        """Upper bound on global |K| row sums: sum_e scale_e |ke| row blocks,
+        scattered like the diagonal.  Gershgorin: lambda_max(D^-1 A) <=
+        max_i rowabs_i / diag_i.  1.0 on constrained dofs."""
+        nx, ny, nz = self.grid.nels
+        out = jnp.zeros((nx + 1, ny + 1, nz + 1, 3), dtype=scale.dtype)
+        for c, (dx, dy, dz) in enumerate(HEX_CORNERS):
+            out = out.at[dx : dx + nx, dy : dy + ny, dz : dz + nz, :].add(
+                scale[..., None] * self.ke_rowabs[c][None, None, None, :]
             )
         return jnp.where(free_mask > 0, out, jnp.ones_like(out))
 
