@@ -60,8 +60,11 @@ def _build_preconditioner(op, params):
     if choice in ("auto", "multigrid") and isinstance(op, VoxelOperator):
         from ..ops.multigrid import MultigridPreconditioner
 
+        cycle_dtype = jnp.dtype(params.mg_cycle_dtype) \
+            if params.mg_cycle_dtype else None
         mg = MultigridPreconditioner(
-            op, levels=params.mg_levels, smooth_iters=params.mg_smooth_iters
+            op, levels=params.mg_levels, smooth_iters=params.mg_smooth_iters,
+            cycle_dtype=cycle_dtype,
         )
         if mg.n_levels > 1:
             return mg.preconditioner_factory()

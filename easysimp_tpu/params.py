@@ -54,6 +54,8 @@ class OptimizationParameters:
     preconditioner: str = "auto"        # "auto" | "jacobi" | "multigrid"
     mg_levels: int = 0                  # 0 = auto depth
     mg_smooth_iters: int = 2
+    mg_cycle_dtype: str = ""            # "" = operator dtype; "bfloat16" runs
+                                        # the V-cycle interior in bf16
 
     # --- checkpoint/resume + profiling (capabilities the reference lacks,
     #     SURVEY.md §5.1/§5.4) ---

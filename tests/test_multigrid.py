@@ -131,3 +131,61 @@ class TestMGPreconditioner:
                                    rtol=1e-8)
         np.testing.assert_allclose(res_m.densities, res_j.densities, atol=1e-7)
         assert sum(res_m.cg_iterations_history) < sum(res_j.cg_iterations_history)
+
+
+class TestSmootherVariants:
+    def test_chebyshev_beats_jacobi_on_hard_contrast(self):
+        import easysimp_tpu as et
+        from easysimp_tpu.ops.cg import cg_solve
+
+        grid = et.generate_grid((16, 8, 4), (0.0, 0.0, 0.0),
+                                (16.0, 8.0, 4.0))
+        op = et.VoxelOperator(grid, E0=1.0, Emin=1e-9, nu=0.3, p=3.0,
+                              dtype=jnp.float64)
+        bc = et.apply_fixed_boundary(
+            grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+        mask = jnp.asarray(et.build_free_mask(grid, [bc]))
+        load = et.PointLoad(
+            et.select_nodes_by_box(grid, [16, 0, 0], [16, 0, 4]),
+            [0.0, -1.0, 0.0])
+        f = jnp.asarray(et.build_load_field(grid, [load])) * mask
+        rng = np.random.default_rng(3)
+        rho = jnp.asarray(rng.choice([0.001, 1.0], size=grid.nels))
+        scale = op.youngs_modulus(rho)
+        A = lambda v: op.apply(v, scale, mask)
+        iters = {}
+        for sm in ("jacobi", "chebyshev"):
+            mg = MultigridPreconditioner(op, smooth_iters=2, smoother=sm)
+            M = mg.preconditioner_factory()(scale, mask)
+            sol = cg_solve(A, f, M=M, rtol=1e-9, maxiter=5000)
+            iters[sm] = int(sol.iterations)
+            np.testing.assert_allclose(float(sol.residual_norm), 0, atol=1e-7)
+        assert iters["chebyshev"] < iters["jacobi"]
+
+    def test_bf16_cycle_converges_like_fp32(self):
+        import easysimp_tpu as et
+        from easysimp_tpu.ops.cg import cg_solve
+
+        grid = et.generate_grid((16, 8, 4), (0.0, 0.0, 0.0),
+                                (16.0, 8.0, 4.0))
+        op = et.VoxelOperator(grid, E0=1.0, Emin=1e-9, nu=0.3, p=3.0,
+                              dtype=jnp.float32)
+        bc = et.apply_fixed_boundary(
+            grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+        mask = jnp.asarray(et.build_free_mask(grid, [bc]), jnp.float32)
+        load = et.PointLoad(
+            et.select_nodes_by_box(grid, [16, 0, 0], [16, 0, 4]),
+            [0.0, -1.0, 0.0])
+        f = jnp.asarray(et.build_load_field(grid, [load]),
+                        jnp.float32) * mask
+        scale = op.youngs_modulus(jnp.full(grid.nels, 0.4, jnp.float32))
+        A = lambda v: op.apply(v, scale, mask)
+        sols = {}
+        for tag, cd in (("fp32", None), ("bf16", jnp.bfloat16)):
+            mg = MultigridPreconditioner(op, smooth_iters=2, cycle_dtype=cd)
+            M = mg.preconditioner_factory()(scale, mask)
+            sols[tag] = cg_solve(A, f, M=M, rtol=1e-5, maxiter=1000)
+        assert int(sols["bf16"].iterations) <= 2 * int(sols["fp32"].iterations)
+        np.testing.assert_allclose(
+            np.asarray(sols["bf16"].u), np.asarray(sols["fp32"].u),
+            rtol=1e-3, atol=1e-5)
