@@ -186,6 +186,12 @@ class TestSmootherVariants:
             M = mg.preconditioner_factory()(scale, mask)
             sols[tag] = cg_solve(A, f, M=M, rtol=1e-5, maxiter=1000)
         assert int(sols["bf16"].iterations) <= 2 * int(sols["fp32"].iterations)
+        # both reach the same residual tolerance; solutions agree to a
+        # condition-number-amplified tolerance
+        bnorm = float(jnp.sqrt(jnp.vdot(f, f)))
+        assert float(sols["bf16"].residual_norm) <= 1.1e-5 * bnorm
+        assert float(sols["fp32"].residual_norm) <= 1.1e-5 * bnorm
+        umax = np.abs(np.asarray(sols["fp32"].u)).max()
         np.testing.assert_allclose(
             np.asarray(sols["bf16"].u), np.asarray(sols["fp32"].u),
-            rtol=1e-3, atol=1e-5)
+            atol=2e-3 * umax)
