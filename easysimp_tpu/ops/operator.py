@@ -97,6 +97,11 @@ class VoxelOperator:
         """E(rho): the per-element scaling of the unit-modulus ke."""
         return simp_youngs_modulus(rho, self.E0, self.Emin, self.p)
 
+    def set_fused_matvec(self, fn):
+        """Install a fused K@u implementation (e.g. the Pallas kernel from
+        ops/pallas_kernels.py); apply_K routes through it."""
+        self._fused_matvec = fn
+
     # ----- core stencil action --------------------------------------------
     def apply_elements(self, u):
         """Element dof products q_e = ke @ u_e, shape (nx, ny, nz, 24).
@@ -116,8 +121,12 @@ class VoxelOperator:
                     precision=jax.lax.Precision.HIGHEST)
         return ue, q.reshape(shp)
 
+    _fused_matvec = None
+
     def apply_K(self, u, scale):
         """K(rho) @ u with scale = E(rho), no BC masking."""
+        if self._fused_matvec is not None:
+            return self._fused_matvec(u, scale)
         _, q = self.apply_elements(u)
         return scatter_element_dofs(q * scale[..., None])
 

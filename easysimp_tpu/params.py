@@ -56,6 +56,8 @@ class OptimizationParameters:
     mg_smooth_iters: int = 2
     mg_cycle_dtype: str = ""            # "" = operator dtype; "bfloat16" runs
                                         # the V-cycle interior in bf16
+    use_pallas_matvec: bool = False     # fused Pallas stencil matvec for the
+                                        # FINE level (experimental)
 
     # --- checkpoint/resume + profiling (capabilities the reference lacks,
     #     SURVEY.md §5.1/§5.4) ---
