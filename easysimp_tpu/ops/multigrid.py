@@ -87,15 +87,18 @@ class MultigridPreconditioner:
     """Symmetric V-cycle preconditioner for the masked voxel operator."""
 
     def __init__(self, fine_op: VoxelOperator, levels: int = 0,
-                 smooth_iters: int = 2, power_iters: int = 0,
+                 smooth_iters: int = 1, power_iters: int = 10,
                  cycle_dtype=None, smoother: str = "chebyshev"):
         self.smooth_iters = int(smooth_iters)
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
-        # power_iters=0 (default): use the Gershgorin bound for the smoother
-        # omega — one diagonal-style stencil pass instead of 12 matvecs per
-        # level per SIMP iteration (the power iteration dominated MG setup).
+        # power_iters>0: estimate lambda_max by power iteration per SIMP
+        # iteration (~power_iters matvecs/level of setup); 0 uses the free
+        # Gershgorin bound, whose ~1.5-2x overestimate costs CG iterations.
+        # Measured on a realistic mid-optimization 64^3 field, Chebyshev
+        # V(1,1) with power-estimated lambda is the cheapest total-matvec
+        # configuration (see commit history) — hence these defaults.
         self.power_iters = int(power_iters)
         self.dtype = fine_op.dtype
         # cycle_dtype: run the V-cycle interior (smoothing matvecs, transfer

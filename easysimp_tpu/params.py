@@ -53,7 +53,7 @@ class OptimizationParameters:
     cg_maxiter: int = 20000
     preconditioner: str = "auto"        # "auto" | "jacobi" | "multigrid"
     mg_levels: int = 0                  # 0 = auto depth
-    mg_smooth_iters: int = 2
+    mg_smooth_iters: int = 1            # Chebyshev degree / Jacobi sweeps
     mg_cycle_dtype: str = ""            # "" = operator dtype; "bfloat16" runs
                                         # the V-cycle interior in bf16
     use_pallas_matvec: bool = False     # fused Pallas stencil matvec for the
