@@ -21,7 +21,7 @@ from functools import cached_property
 
 import numpy as np
 
-from .utils.terminal import print_data, print_success
+from .utils.terminal import print_success
 
 __all__ = ["UnstructuredMesh", "import_mesh"]
 
@@ -77,8 +77,6 @@ class UnstructuredMesh:
     # ----- geometry ----------------------------------------------------
     @cached_property
     def element_volumes(self) -> np.ndarray:
-        from .ops.elements import element_stiffness_batch_np
-
         # volumes come for free with the ke batch, but computing them alone
         # is cheap enough to keep this independent:
         coords = self.node_coords[self.connectivity]

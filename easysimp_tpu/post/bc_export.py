@@ -20,8 +20,6 @@ __all__ = ["export_boundary_conditions"]
 def _all_faces(grid):
     """(faces (n, 3|4) node ids, vtk face type) for every cell face."""
     if isinstance(grid, VoxelGrid):
-        from ..loads import _voxel_boundary_facets  # face tables live there
-
         conn = grid.hex_connectivity
         tables = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
                   (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7)]

@@ -347,7 +347,6 @@ def create_results_data(grid, result) -> ResultsData:
     """Build export payload from an OptimizationResult
     (parity: create_results_data, PostProcessing.jl:39-57)."""
     from ..grids import VoxelGrid
-    from ..ops.elements import simp_youngs_modulus
 
     points = np.asarray(grid.node_coords, dtype=np.float64)
     if isinstance(grid, VoxelGrid):
