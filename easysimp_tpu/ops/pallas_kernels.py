@@ -3,20 +3,25 @@
 The XLA path (ops/operator.py) materializes the gathered (N, 24) element-dof
 array, the matmul result, and eight scatter intermediates — several hundred
 MB of HBM round-trips per application at 128^3.  This kernel fuses
-gather -> ke-contraction -> SIMP scaling -> scatter into ONE pass:
+gather -> ke-contraction -> SIMP scaling -> scatter into ONE pass over
+x-slabs.
 
-  * structure-of-arrays layout inside the kernel: displacement components are
-    separate (BX+1, BY+1, nnz) VMEM planes whose minor dimension is the full
-    z extent (lane-aligned), sidestepping the hostile minor-dim-3/24 layouts;
-  * the ke contraction unrolls into 24x24 scalar-coefficient fused
-    multiply-adds on (BX, BY, nz) vectors — pure VPU work with zero layout
-    changes (the MXU would need a 24-minor operand, which pads 5x);
-  * each (bx, by) grid step DMAs its element block's node slab (one-plane
-    halo in x and y) from HBM and writes a DISJOINT partial-output block;
-    the <=4-way overlap between neighboring blocks' node planes is summed by
-    four cheap strided adds in XLA afterwards — no atomics, no revisits.
+TPU-shape constraints drive the design:
+  * VMEM arrays keep (y, z) as the tiled (sublane, lane) dims, padded to
+    (8, 128) multiples; x and the displacement component are leading
+    (freely sliceable) dims;
+  * the +/-1 neighbor offsets in y and z CANNOT be expressed as slices
+    (Mosaic requires tile-aligned minor-dim slices) — they become
+    `pltpu.roll` rotates.  Circular wrap-around is harmless because the
+    SIMP modulus field is ZERO-padded: every wrapped-in product is
+    multiplied by scale == 0;
+  * the ke contraction unrolls into scalar-coefficient FMAs on
+    (BX, NYP, NZP) vectors — pure VPU work, no layout changes (an MXU
+    matmul would need a 24-minor operand, which pads 5x);
+  * each x-slab writes a DISJOINT (BX+1)-plane partial block; the one-plane
+    overlap between neighboring slabs is summed by one strided XLA add.
 
-Falls back to the XLA path when the grid doesn't tile (see
+Falls back to the XLA path when nx doesn't tile (see
 `pallas_matvec_available`).
 """
 
@@ -35,122 +40,133 @@ from .elements import HEX_CORNERS
 __all__ = ["pallas_matvec_available", "make_pallas_matvec"]
 
 
-def pallas_matvec_available(grid, block=(8, 8)) -> bool:
-    nx, ny, nz = grid.nels
-    return nx % block[0] == 0 and ny % block[1] == 0
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
 
 
-def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, BY, nz):
-    """One (bx, by) block: DMA node slab, compute, write partial block."""
+def pallas_matvec_available(grid, block=8) -> bool:
+    if isinstance(block, tuple):  # backwards compat with (BX, BY) blocks
+        block = block[0]
+    return grid.nels[0] % block == 0
+
+
+def _roll2(x, dy, dz):
+    """roll in (y, z) = axes (1, 2) of a (X, Y, Z) array; no-op for 0.
+
+    pltpu.roll requires non-negative shifts: -1 becomes size-1 (circular)."""
+    if dy:
+        x = pltpu.roll(x, dy % x.shape[1], 1)
+    if dz:
+        x = pltpu.roll(x, dz % x.shape[2], 2)
+    return x
+
+
+def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, NYP, NZP):
+    """One x-slab: out[i, X, Y, Z] = sum_c E[X-dxc, Y-dyc, Z-dzc] *
+    sum_{b,j} ke[3c+i, 3b+j] * u[j, X-dxc+dxb, Y-dyc+dyb, Z-dzc+dzb].
+
+    Node-centric accumulation; element quantities live on the (BX, NYP, NZP)
+    padded element grid of this slab.
+    """
     bx = pl.program_id(0)
-    by = pl.program_id(1)
-
-    # Halo DMA: node slab (3, BX+1, BY+1, nnz) for this element block.
     dma = pltpu.make_async_copy(
-        u_hbm.at[:, pl.ds(bx * BX, BX + 1), pl.ds(by * BY, BY + 1), :],
-        u_blk,
-        sem,
-    )
+        u_hbm.at[:, pl.ds(bx * BX, BX + 1), :, :], u_blk, sem)
     dma.start()
-    # Output blocks are uninitialized; zero before accumulating.
-    out_ref[...] = jnp.zeros_like(out_ref)
+
+    acc = [jnp.zeros((BX + 1, NYP, NZP), u_blk.dtype) for _ in range(3)]
     dma.wait()
 
-    scale = scale_ref[0, 0]                      # (BX, BY, nz)
+    scale = scale_ref[0]                               # (BX, NYP, NZP)
+    # E_c = scale shifted so that index Y holds E at element (Y - dyc):
+    # 4 (dyc, dzc) variants; the x shift is a free leading-dim slice.
+    E = {(dy, dz): _roll2(scale, dy, dz) for dy in (0, 1) for dz in (0, 1)}
+    u = [u_blk[j] for j in range(3)]                   # (BX+1, NYP, NZP)
 
-    # Corner displacement windows (SoA): u_c[j][b] = (BX, BY, nz)
-    uw = [
-        [u_blk[j, dx : dx + BX, dy : dy + BY, dz : dz + nz]
-         for (dx, dy, dz) in HEX_CORNERS]
-        for j in range(3)
-    ]
-
-    # fe[c][i] = scale * sum_{b,j} ke[3c+i, 3b+j] * uw[j][b]
-    for c, (dx, dy, dz) in enumerate(HEX_CORNERS):
-        for i in range(3):
-            acc = None
-            for b in range(8):
-                for j in range(3):
-                    coeff = ke[3 * c + i, 3 * b + j]
-                    if coeff == 0.0:
+    # Group corner pairs by their relative (y, z) roll so each rolled
+    # displacement variant is built once.
+    for dy_r in (-1, 0, 1):
+        for dz_r in (-1, 0, 1):
+            u_r = [_roll2(u[j], dy_r, dz_r) for j in range(3)]
+            for c, (dxc, dyc, dzc) in enumerate(HEX_CORNERS):
+                for b, (dxb, dyb, dzb) in enumerate(HEX_CORNERS):
+                    if dyc - dyb != dy_r or dzc - dzb != dz_r:
                         continue
-                    term = coeff * uw[j][b]
-                    acc = term if acc is None else acc + term
-            fe = scale * acc
-            # scatter into the partial output block (node-indexed)
-            cur = out_ref[0, 0, i, dx : dx + BX, dy : dy + BY,
-                          dz : dz + nz]
-            out_ref[0, 0, i, dx : dx + BX, dy : dy + BY, dz : dz + nz] = (
-                cur + fe
-            )
+                    Ec = E[(dyc, dzc)]
+                    for i in range(3):
+                        term = None
+                        for j in range(3):
+                            coeff = float(ke[3 * c + i, 3 * b + j])
+                            if coeff == 0.0:
+                                continue
+                            t = coeff * u_r[j][dxb : dxb + BX]
+                            term = t if term is None else term + t
+                        if term is None:
+                            continue
+                        acc[i] = acc[i].at[dxc : dxc + BX].add(Ec * term)
+
+    for i in range(3):
+        out_ref[0, i] = acc[i]
 
 
-def make_pallas_matvec(op, block=(8, 8), interpret=False):
+def make_pallas_matvec(op, block=8, interpret=False):
     """Build a fused matvec for `op` (a VoxelOperator).
 
     Returns fn(u, scale) -> K u with u, out as (nnx, nny, nnz, 3) fields
-    (the framework's public node layout; SoA transposes happen at the
-    boundary).  Use `interpret=True` to run on CPU for testing.
+    (the framework's public node layout; the SoA transposes and (8,128)
+    padding happen at the boundary and fuse into neighboring XLA ops).
     """
+    if isinstance(block, tuple):
+        block = block[0]
     grid = op.grid
     nx, ny, nz = grid.nels
-    BX, BY = block
-    if not pallas_matvec_available(grid, block):
-        raise ValueError(f"grid {grid.nels} does not tile into {block}")
-    nbx, nby = nx // BX, ny // BY
+    BX = block
+    if not pallas_matvec_available(grid, BX):
+        raise ValueError(f"nx={nx} does not tile into blocks of {BX}")
+    nbx = nx // BX
     nnx, nny, nnz = grid.nnodes_per_axis
+    NYP = _round_up(nny, 8)
+    NZP = _round_up(nnz, 128)
     dtype = op.dtype
     ke = np.asarray(op.ke, dtype=np.float64)
 
-    kernel = functools.partial(_kernel, ke=ke, BX=BX, BY=BY, nz=nz)
+    kernel = functools.partial(_kernel, ke=ke, BX=BX, NYP=NYP, NZP=NZP)
 
     call = pl.pallas_call(
         kernel,
-        grid=(nbx, nby),
+        grid=(nbx,),
         in_specs=[
-            # scale block (leading singleton dims make the block rank match)
-            pl.BlockSpec((1, 1, BX, BY, nz),
-                         lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, BX, NYP, NZP), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # full u stays in HBM/ANY; the kernel DMAs its halo slab
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # u: DMA'd with halo
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 3, BX + 1, BY + 1, nnz),
-            lambda i, j: (i, j, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nbx, nby, 3, BX + 1, BY + 1, nnz), dtype),
+        out_specs=pl.BlockSpec((1, 3, BX + 1, NYP, NZP),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbx, 3, BX + 1, NYP, NZP), dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, BX + 1, BY + 1, nnz), dtype),
+            pltpu.VMEM((3, BX + 1, NYP, NZP), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )
 
     def matvec(u, scale):
-        # public layout -> SoA
-        u_soa = jnp.transpose(u, (3, 0, 1, 2))
-        scale_b = scale.reshape(nbx, BX, nby, BY, nz).transpose(0, 2, 1, 3, 4)
-        partial = call(scale_b, u_soa)           # (nbx,nby,3,BX+1,BY+1,nnz)
+        # public layout -> padded SoA
+        u_soa = jnp.zeros((3, nnx, NYP, NZP), dtype)
+        u_soa = u_soa.at[:, :, :nny, :nnz].set(jnp.transpose(u, (3, 0, 1, 2)))
+        scale_p = jnp.zeros((nbx, BX, NYP, NZP), dtype)
+        scale_p = scale_p.at[:, :, :ny, :nz].set(
+            scale.reshape(nbx, BX, ny, nz))
 
-        out = jnp.zeros((3, nnx, nny, nnz), dtype)
-        # interior: a<BX, b<BY
-        interior = partial[:, :, :, :BX, :BY, :].transpose(2, 0, 3, 1, 4, 5)
-        out = out.at[:, : nbx * BX, : nby * BY, :].add(
-            interior.reshape(3, nbx * BX, nby * BY, nnz))
-        # x-edge: a=BX -> global rows BX, 2BX, ..., nx
-        xedge = partial[:, :, :, BX, :BY, :].transpose(2, 0, 1, 3, 4)
-        out = out.at[:, BX::BX, : nby * BY, :].add(
-            xedge.reshape(3, nbx, nby * BY, nnz))
-        # y-edge: b=BY
-        yedge = partial[:, :, :, :BX, BY, :].transpose(2, 0, 3, 1, 4)
-        out = out.at[:, : nbx * BX, BY::BY, :].add(
-            yedge.reshape(3, nbx * BX, nby, nnz))
-        # corner: a=BX, b=BY
-        corner = partial[:, :, :, BX, BY, :].transpose(2, 0, 1, 3)
-        out = out.at[:, BX::BX, BY::BY, :].add(corner)
-        return jnp.transpose(out, (1, 2, 3, 0))
+        partial = call(scale_p, u_soa)        # (nbx, 3, BX+1, NYP, NZP)
+
+        out = jnp.zeros((3, nnx, NYP, NZP), dtype)
+        interior = partial[:, :, :BX].transpose(1, 0, 2, 3, 4)
+        out = out.at[:, : nbx * BX].add(
+            interior.reshape(3, nbx * BX, NYP, NZP))
+        # overlap plane: block i's plane BX lands on global plane (i+1)*BX
+        edge = partial[:, :, BX].transpose(1, 0, 2, 3)
+        out = out.at[:, BX::BX].add(edge)
+        return jnp.transpose(out[:, :, :nny, :nnz], (1, 2, 3, 0))
 
     return matvec

@@ -11,8 +11,7 @@ from easysimp_tpu.ops.pallas_kernels import (
 )
 
 
-@pytest.mark.parametrize("nels,block", [((16, 8, 4), (8, 8)),
-                                        ((8, 16, 8), (4, 4))])
+@pytest.mark.parametrize("nels,block", [((16, 8, 4), 8), ((8, 16, 8), 4)])
 def test_pallas_matvec_matches_xla(nels, block):
     grid = et.generate_grid(nels, (0.0, 0.0, 0.0),
                             (1.6, 1.1, 0.9))
@@ -31,7 +30,7 @@ def test_pallas_matvec_matches_xla(nels, block):
 
 def test_unavailable_for_non_tiling_grid():
     grid = et.generate_grid((10, 6, 4))
-    assert not pallas_matvec_available(grid, (8, 8))
+    assert not pallas_matvec_available(grid, 8)
 
 
 def test_optimize_with_pallas_matvec_matches():
