@@ -51,28 +51,36 @@ def main():
         et.select_nodes_by_box(grid, [nx, 0, 0], [nx, 0, nz]),
         [0.0, -1.0, 0.0],
     )
-    params = et.OptimizationParameters(
-        E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
-        filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
-        preconditioner="multigrid",
-    )
     log(f"grid {nels} = {grid.n_cells} cells, {grid.n_dofs} dofs, dtype {dtype}")
 
-    t0 = time.time()
-    vs = build_voxel_step(grid, [load], [bc], params)
-    step = jax.jit(vs.step, donate_argnums=(0, 1))
-    design, u = vs.design0, vs.u0
+    def build_and_warm(use_pallas):
+        params = et.OptimizationParameters(
+            E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
+            filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
+            preconditioner="multigrid", use_pallas_matvec=use_pallas,
+        )
+        t0 = time.time()
+        vs = build_voxel_step(grid, [load], [bc], params)
+        step = jax.jit(vs.step, donate_argnums=(0, 1))
+        design, u = vs.design0, vs.u0
+        # Warmup: compile + 2 real iterations (also warms the CG trajectory).
+        outs = step(design, u)
+        jax.block_until_ready(outs)
+        log(f"[pallas={use_pallas}] compile+first step: "
+            f"{time.time() - t0:.1f}s; energy {float(outs[3]):.6e} "
+            f"cg {int(outs[9])}")
+        design, u = outs[0], outs[1]
+        outs = step(design, u)
+        jax.block_until_ready(outs)
+        log(f"warm step 2: energy {float(outs[3]):.6e} cg {int(outs[9])}")
+        return step, outs[0], outs[1]
 
-    # Warmup: compile + 2 real iterations (also warms the CG trajectory).
-    outs = step(design, u)
-    jax.block_until_ready(outs)
-    log(f"compile+first step: {time.time() - t0:.1f}s; "
-        f"energy {float(outs[3]):.6e} cg {int(outs[9])}")
-    design, u = outs[0], outs[1]
-    outs = step(design, u)
-    jax.block_until_ready(outs)
-    log(f"warm step 2: energy {float(outs[3]):.6e} cg {int(outs[9])}")
-    design, u = outs[0], outs[1]
+    try:
+        step, design, u = build_and_warm(True)
+    except Exception as e:  # kernel/device fault -> proven XLA path
+        log(f"pallas path failed ({type(e).__name__}: {str(e)[:150]}); "
+            "falling back to XLA matvec")
+        step, design, u = build_and_warm(False)
 
     # Timed run: n_timed full SIMP iterations (solve + sens + filter + OC).
     cg_counts = []

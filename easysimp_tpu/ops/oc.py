@@ -120,13 +120,23 @@ def oc_update(
 
 
 def sensitivity_health(sensitivities):
-    """Diagnostics matching `check_sensitivity_health`
-    (OptimalityCriteria.jl:19-40); returns (frac_negative, median_abs,
-    range_ratio) for the driver to warn on host-side."""
+    """Diagnostics in the spirit of `check_sensitivity_health`
+    (OptimalityCriteria.jl:19-40); returns (frac_negative, center_abs,
+    range_ratio) for the driver to warn on host-side.
+
+    Deviation (documented): the reference centers its range check on the
+    MEDIAN; a median is a full sort — at 128^3 that is a 2M-element sort per
+    SIMP iteration which, besides the cost, overflowed scoped VMEM next to
+    the fused Pallas kernel on TPU.  The geometric-mean-of-abs proxy (exp of
+    mean log) is sort-free, robust to outliers like the median, and only
+    gates a console WARNING.
+    """
     flat = sensitivities.reshape(-1)
-    frac_neg = jnp.mean((flat < 0).astype(flat.dtype))
+    dtype = flat.dtype
+    frac_neg = jnp.mean((flat < 0).astype(dtype))
     abs_s = jnp.abs(flat)
-    med = jnp.median(abs_s)
-    eps = jnp.finfo(flat.dtype).eps
-    range_ratio = jnp.max(abs_s) / jnp.maximum(med, eps)
-    return frac_neg, med, range_ratio
+    tiny = jnp.finfo(dtype).tiny
+    center = jnp.exp(jnp.mean(jnp.log(jnp.maximum(abs_s, tiny))))
+    eps = jnp.finfo(dtype).eps
+    range_ratio = jnp.max(abs_s) / jnp.maximum(center, eps)
+    return frac_neg, center, range_ratio

@@ -37,7 +37,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .elements import HEX_CORNERS
 
-__all__ = ["pallas_matvec_available", "make_pallas_matvec"]
+__all__ = ["pallas_matvec_available", "make_pallas_matvec",
+           "install_fused_matvec"]
+
+# Engage the kernel only where its (8,128)-tile padding is amortized; on
+# small (coarse multigrid) grids the z padding dominates and XLA wins.
+_MIN_DIM_FOR_KERNEL = 64
+
+
+def install_fused_matvec(op, min_dim=_MIN_DIM_FOR_KERNEL) -> bool:
+    """Install the fused kernel on a VoxelOperator when profitable.
+
+    Returns True if installed.  Criteria: every grid dimension >= min_dim
+    (padding overhead bounded) and the x extent tiles into blocks.
+    """
+    nels = op.grid.nels
+    if min(nels) < min_dim:
+        return False
+    for block in (4, 2):
+        if nels[0] % block == 0:
+            op.set_fused_matvec(make_pallas_matvec(op, block=block))
+            return True
+    return False
 
 
 def _round_up(v, m):
@@ -73,7 +94,11 @@ def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, NYP, NZP):
         u_hbm.at[:, pl.ds(bx * BX, BX + 1), :, :], u_blk, sem)
     dma.start()
 
-    acc = [jnp.zeros((BX + 1, NYP, NZP), u_blk.dtype) for _ in range(3)]
+    # Two pure accumulators per component (x-corner offset dxc in {0, 1});
+    # Mosaic has no in-kernel scatter-add, so dynamic-slice .at[].add on
+    # VALUES is out — plain adds here, static ref stores at the end.
+    acc = [[jnp.zeros((BX, NYP, NZP), u_blk.dtype) for _ in range(2)]
+           for _ in range(3)]
     dma.wait()
 
     scale = scale_ref[0]                               # (BX, NYP, NZP)
@@ -102,10 +127,12 @@ def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, NYP, NZP):
                             term = t if term is None else term + t
                         if term is None:
                             continue
-                        acc[i] = acc[i].at[dxc : dxc + BX].add(Ec * term)
+                        acc[i][dxc] = acc[i][dxc] + Ec * term
 
     for i in range(3):
-        out_ref[0, i] = acc[i]
+        out_ref[0, i, 0:BX] = acc[i][0]
+        out_ref[0, i, BX : BX + 1] = jnp.zeros((1, NYP, NZP), u_blk.dtype)
+        out_ref[0, i, 1 : BX + 1] = out_ref[0, i, 1 : BX + 1] + acc[i][1]
 
 
 def make_pallas_matvec(op, block=8, interpret=False):
@@ -137,7 +164,10 @@ def make_pallas_matvec(op, block=8, interpret=False):
         in_specs=[
             pl.BlockSpec((1, BX, NYP, NZP), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # u: DMA'd with halo
+            # u stays in HBM (the kernel DMAs halo slabs itself); ANY let the
+            # compiler attempt a VMEM placement for the in-graph intermediate,
+            # which faulted at 128^3.
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, 3, BX + 1, NYP, NZP),
                                lambda i: (i, 0, 0, 0, 0),
@@ -147,6 +177,11 @@ def make_pallas_matvec(op, block=8, interpret=False):
             pltpu.VMEM((3, BX + 1, NYP, NZP), dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # large grids need > the 16MB default scoped-vmem budget for the
+            # halo slab + accumulators; v5e/v5p have far more physical VMEM
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
 

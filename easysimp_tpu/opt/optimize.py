@@ -125,16 +125,10 @@ def build_voxel_step(grid, loads, boundary_conditions,
         grid, E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
         dtype=dtype,
     )
-    if params.use_pallas_matvec:
-        from ..ops.pallas_kernels import make_pallas_matvec, \
-            pallas_matvec_available
+    if params.use_pallas_matvec and jax.default_backend() == "tpu":
+        from ..ops.pallas_kernels import install_fused_matvec
 
-        if pallas_matvec_available(grid):
-            interpret = jax.default_backend() != "tpu"
-            op.set_fused_matvec(make_pallas_matvec(op, interpret=interpret))
-        else:
-            print_warning(
-                f"Pallas matvec unavailable for grid {grid.nels}; using XLA")
+        install_fused_matvec(op)
     filt = create_filter_cache(grid, params.filter_radius, dtype=dtype)
     use_density_filter = params.filter_type == "density"
 
