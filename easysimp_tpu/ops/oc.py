@@ -125,18 +125,17 @@ def sensitivity_health(sensitivities):
     range_ratio) for the driver to warn on host-side.
 
     Deviation (documented): the reference centers its range check on the
-    MEDIAN; a median is a full sort — at 128^3 that is a 2M-element sort per
-    SIMP iteration which, besides the cost, overflowed scoped VMEM next to
-    the fused Pallas kernel on TPU.  The geometric-mean-of-abs proxy (exp of
-    mean log) is sort-free, robust to outliers like the median, and only
-    gates a console WARNING.
+    MEDIAN; a median is a full 2M-element sort per SIMP iteration at 128^3.
+    Both the sort and a log/exp geometric-mean variant deterministically
+    faulted the TPU when compiled next to the fused Pallas kernel, so the
+    center here is the plain mean of |s| — cruder, but it only gates a
+    console WARNING and costs two reductions.
     """
     flat = sensitivities.reshape(-1)
     dtype = flat.dtype
     frac_neg = jnp.mean((flat < 0).astype(dtype))
     abs_s = jnp.abs(flat)
-    tiny = jnp.finfo(dtype).tiny
-    center = jnp.exp(jnp.mean(jnp.log(jnp.maximum(abs_s, tiny))))
+    center = jnp.mean(abs_s)
     eps = jnp.finfo(dtype).eps
     range_ratio = jnp.max(abs_s) / jnp.maximum(center, eps)
     return frac_neg, center, range_ratio

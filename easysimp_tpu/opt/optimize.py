@@ -97,6 +97,7 @@ class VoxelStep:
     op: VoxelOperator
     filt: Any
     step: Callable
+    metrics: Callable
     solve: Callable
     design0: jax.Array
     u0: jax.Array
@@ -105,11 +106,17 @@ class VoxelStep:
     dtype: Any
     use_density_filter: bool
 
-    # field order returned by `step`
+    # field order returned by `step`.  The convergence/diagnostic reductions
+    # live in the separate `metrics` program: compiling them into the same
+    # program as the fused Pallas matvec deterministically faulted the TPU
+    # at 128^3 (scoped-resource interaction); two dispatches cost ~nothing.
     STEP_OUTPUTS = (
-        "new_design", "u", "phys", "energy", "volume", "change", "lam",
-        "grayness", "max_disp", "cg_iters", "cg_residual", "bisect_iters",
-        "frac_negative_sens", "median_abs_sens", "sens_range_ratio",
+        "new_design", "u", "phys", "energy", "volume", "lam",
+        "cg_iters", "cg_residual", "bisect_iters", "fsens",
+    )
+    METRICS_OUTPUTS = (
+        "change", "grayness", "max_disp",
+        "frac_negative_sens", "center_abs_sens", "sens_range_ratio",
     )
 
 
@@ -192,14 +199,17 @@ def build_voxel_step(grid, loads, boundary_conditions,
             design, fsens, vol_sens, params.volume_fraction, total_volume,
             elem_vol, params.move_limit, params.damping, apply_phys,
         )
+        return (new_design, u, phys, energy, volume, lam, sol.iterations,
+                sol.residual_norm, bisect_iters, fsens)
+
+    def metrics(new_design, design, phys, u, fsens):
+        """Convergence + diagnostic reductions (own program, see above)."""
         change = jnp.max(jnp.abs(new_design - design))
         grayness = jnp.mean(
             jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype))
         max_disp = jnp.max(jnp.abs(u))
-        frac_neg, med, rng = sensitivity_health(fsens)
-        return (new_design, u, phys, energy, volume, change, lam, grayness,
-                max_disp, sol.iterations, sol.residual_norm, bisect_iters,
-                frac_neg, med, rng)
+        frac_neg, center, rng = sensitivity_health(fsens)
+        return change, grayness, max_disp, frac_neg, center, rng
 
     def solve_only(design):
         """Final analysis (Optimization.jl:494-539): re-filter + re-solve."""
@@ -207,9 +217,10 @@ def build_voxel_step(grid, loads, boundary_conditions,
         return phys, sol.u, energy
 
     return VoxelStep(
-        grid=grid, op=op, filt=filt, step=step, solve=solve_only,
-        design0=design0, u0=u0, elem_vol=elem_vol, total_volume=total_volume,
-        dtype=dtype, use_density_filter=use_density_filter,
+        grid=grid, op=op, filt=filt, step=step, metrics=metrics,
+        solve=solve_only, design0=design0, u0=u0, elem_vol=elem_vol,
+        total_volume=total_volume, dtype=dtype,
+        use_density_filter=use_density_filter,
     )
 
 
@@ -254,6 +265,7 @@ def simp_optimize(grid, loads, boundary_conditions,
     vs = build_voxel_step(grid, loads, boundary_conditions, params,
                           acceleration_data, mesh)
     step_jit = jax.jit(vs.step)
+    metrics_jit = jax.jit(vs.metrics)
     solve_jit = jax.jit(vs.solve)
     op, total_volume, elem_vol = vs.op, vs.total_volume, vs.elem_vol
 
@@ -306,9 +318,11 @@ def simp_optimize(grid, loads, boundary_conditions,
 
             profile_ctx = _profiler.trace(params.profile_dir)
             profile_ctx.__enter__()
-        (new_design, u, phys, energy, volume, change, lam, grayness,
-         max_disp, cg_iters, cg_res, bisect_iters, frac_neg, med, rng) = \
-            step_jit(design, u)
+        (new_design, u_new, phys, energy, volume, lam, cg_iters, cg_res,
+         bisect_iters, fsens) = step_jit(design, u)
+        (change, grayness, max_disp, frac_neg, center, rng) = metrics_jit(
+            new_design, design, phys, u_new, fsens)
+        u = u_new
         if profile_ctx is not None and it >= 4:
             jax.block_until_ready(u)
             profile_ctx.__exit__(None, None, None)

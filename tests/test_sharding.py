@@ -89,7 +89,7 @@ def test_sharded_step_matches_unsharded(devices, shape):
                                rtol=1e-7, atol=1e-9)
     assert np.isclose(float(out[3]), float(ref_out[3]), rtol=1e-9)   # energy
     assert np.isclose(float(out[4]), float(ref_out[4]), rtol=1e-12)  # volume
-    assert np.isclose(float(out[5]), float(ref_out[5]), rtol=1e-7)   # change
+    assert np.isclose(float(out[5]), float(ref_out[5]), rtol=1e-9)   # lambda
 
 
 def test_sharded_full_optimize_matches(devices):
