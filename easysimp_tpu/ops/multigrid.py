@@ -125,6 +125,13 @@ class MultigridPreconditioner:
             if levels and len(self.ops) >= levels:
                 break
         self.n_levels = len(self.ops)
+        # Propagate a fused (Pallas) matvec to coarse levels where it pays
+        # (>=64-dim grids; install_fused_matvec enforces the threshold).
+        if getattr(fine_op, "_fused_matvec", None) is not None:
+            from .pallas_kernels import install_fused_matvec
+
+            for o in self.ops[1:]:
+                install_fused_matvec(o)
         if self.cycle_dtype is not None:
             self.cycle_ops = [
                 VoxelOperator(o.grid, E0=fine_op.E0, Emin=fine_op.Emin,
