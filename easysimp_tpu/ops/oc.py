@@ -67,18 +67,21 @@ def oc_update(
     x_min = jnp.asarray(X_MIN, dtype)
     eps = jnp.finfo(dtype).eps
 
+    # Per-element invariants hoisted out of the bisection (the loop runs
+    # O(50-200) passes over multi-million-element fields):
+    #   ratio(lam) = rho * (|s| / (lam v))^d = [rho * (|s|/v)^d] * lam^-d
+    # and the reference's nested clamp (OptimalityCriteria.jl:110-116)
+    # max(xmin, max(rho-m, min(1, min(rho+m, ratio)))) equals
+    # clip(ratio, max(xmin, rho-m), min(1, rho+m)) exactly (max/min
+    # reassociation is exact in fp).  Each pass is then one scalar power,
+    # one multiply, two clamps, and the volume reduction.
+    d_exp = jnp.asarray(damping, dtype)
+    q = densities * (jnp.abs(sensitivities) / volume_sensitivities) ** d_exp
+    lo = jnp.maximum(x_min, densities - move)
+    hi = jnp.minimum(jnp.asarray(1.0, dtype), densities + move)
+
     def candidate(lmid):
-        # Be = |dc/dx| / (lambda * dV/dx); update = rho * Be^damping, clamped
-        # exactly as OptimalityCriteria.jl:102-117.
-        Be = jnp.abs(sensitivities) / (lmid * volume_sensitivities)
-        ratio = densities * Be ** jnp.asarray(damping, dtype)
-        return jnp.maximum(
-            x_min,
-            jnp.maximum(
-                densities - move,
-                jnp.minimum(1.0, jnp.minimum(densities + move, ratio)),
-            ),
-        )
+        return jnp.clip(q * lmid**(-d_exp), lo, hi)
 
     def volume_error(new):
         phys = apply_physical(new)
