@@ -65,19 +65,19 @@ def run_measurement():
     step = jax.jit(vs.step, donate_argnums=(0, 1))
     design, u = vs.design0, vs.u0
 
-    outs = step(design, u)
+    outs = step(design, u, *vs.step_args)
     jax.block_until_ready(outs)
     log(f"compile+first step: {time.time() - t0:.1f}s; "
         f"energy {float(outs[3]):.6e} cg {int(outs[6])}")
     design, u = outs[0], outs[1]
-    outs = step(design, u)
+    outs = step(design, u, *vs.step_args)
     jax.block_until_ready(outs)
     log(f"warm step 2: energy {float(outs[3]):.6e} cg {int(outs[6])}")
     design, u = outs[0], outs[1]
 
     t0 = time.time()
     for _ in range(n_timed):
-        outs = step(design, u)
+        outs = step(design, u, *vs.step_args)
         design, u = outs[0], outs[1]
     jax.block_until_ready(outs)
     elapsed = time.time() - t0

@@ -96,11 +96,15 @@ class VoxelStep:
     grid: VoxelGrid
     op: VoxelOperator
     filt: Any
-    step: Callable
+    step: Callable          # step(design, u_prev, *step_args)
     metrics: Callable
-    solve: Callable
+    solve: Callable         # solve(design, *step_args)
     design0: jax.Array
     u0: jax.Array
+    step_args: tuple        # (f_ext, free_mask, vol_sens) — passed as runtime
+                            # buffers, NOT closures: closure arrays become
+                            # XLA compile-time constants, which at 256^3 is
+                            # ~500MB of HLO and overflows the compile service
     elem_vol: float
     total_volume: float
     dtype: Any
@@ -165,7 +169,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
 
     precond_factory = _build_preconditioner(op, params)
 
-    def forward(design, u_prev):
+    def forward(design, u_prev, f_ext, free_mask):
         """Shared physics: filter -> loads -> solve -> energy/volume."""
         phys = filt.density_filter(design) if use_density_filter else design
         scale = op.youngs_modulus(phys)
@@ -183,8 +187,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
         volume = jnp.sum(phys) * elem_vol
         return phys, sol, energy, volume
 
-    def step(design, u_prev):
-        phys, sol, energy, volume = forward(design, u_prev)
+    def step(design, u_prev, f_ext, free_mask, vsens):
+        phys, sol, energy, volume = forward(design, u_prev, f_ext, free_mask)
         u = sol.u
 
         sens = op.compliance_sensitivities(u, phys)
@@ -196,7 +200,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
             apply_phys = None
 
         new_design, lam, bisect_iters = oc_update(
-            design, fsens, vol_sens, params.volume_fraction, total_volume,
+            design, fsens, vsens, params.volume_fraction, total_volume,
             elem_vol, params.move_limit, params.damping, apply_phys,
         )
         return (new_design, u, phys, energy, volume, lam, sol.iterations,
@@ -211,14 +215,16 @@ def build_voxel_step(grid, loads, boundary_conditions,
         frac_neg, center, rng = sensitivity_health(fsens)
         return change, grayness, max_disp, frac_neg, center, rng
 
-    def solve_only(design):
+    def solve_only(design, f_ext, free_mask, vsens):
         """Final analysis (Optimization.jl:494-539): re-filter + re-solve."""
-        phys, sol, energy, _ = forward(design, jnp.zeros_like(u0))
+        phys, sol, energy, _ = forward(design, jnp.zeros_like(u0), f_ext,
+                                       free_mask)
         return phys, sol.u, energy
 
     return VoxelStep(
         grid=grid, op=op, filt=filt, step=step, metrics=metrics,
-        solve=solve_only, design0=design0, u0=u0, elem_vol=elem_vol,
+        solve=solve_only, design0=design0, u0=u0,
+        step_args=(f_ext, free_mask, vol_sens), elem_vol=elem_vol,
         total_volume=total_volume, dtype=dtype,
         use_density_filter=use_density_filter,
     )
@@ -319,7 +325,7 @@ def simp_optimize(grid, loads, boundary_conditions,
             profile_ctx = _profiler.trace(params.profile_dir)
             profile_ctx.__enter__()
         (new_design, u_new, phys, energy, volume, lam, cg_iters, cg_res,
-         bisect_iters, fsens) = step_jit(design, u)
+         bisect_iters, fsens) = step_jit(design, u, *vs.step_args)
         (change, grayness, max_disp, frac_neg, center, rng) = metrics_jit(
             new_design, design, phys, u_new, fsens)
         u = u_new
@@ -398,7 +404,7 @@ def simp_optimize(grid, loads, boundary_conditions,
         profile_ctx.__exit__(None, None, None)
 
     # ----- final analysis (Optimization.jl:494-539) -----------------------------
-    phys, u, final_energy = solve_jit(design)
+    phys, u, final_energy = solve_jit(design, *vs.step_args)
     final_energy = float(final_energy)
     final_volume = float(jnp.sum(phys)) * elem_vol
 

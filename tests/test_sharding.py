@@ -76,11 +76,11 @@ def test_sharded_step_matches_unsharded(devices, shape):
         dtype="float64", cg_rtol=1e-11)
 
     ref = build_voxel_step(grid, [load], [bc], params)
-    ref_out = jax.jit(ref.step)(ref.design0, ref.u0)
+    ref_out = jax.jit(ref.step)(ref.design0, ref.u0, *ref.step_args)
 
     mesh = make_mesh(8, shape=shape, devices=devices)
     vs = build_voxel_step(grid, [load], [bc], params, mesh=mesh)
-    out = jax.jit(vs.step)(vs.design0, vs.u0)
+    out = jax.jit(vs.step)(vs.design0, vs.u0, *vs.step_args)
 
     # new_design, u, phys identical; scalars identical
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref_out[0]),
