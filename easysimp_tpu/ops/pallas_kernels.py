@@ -45,17 +45,34 @@ __all__ = ["pallas_matvec_available", "make_pallas_matvec",
 _MIN_DIM_FOR_KERNEL = 64
 
 
+def _scoped_vmem_estimate(block, nny, nnz):
+    """Empirical Mosaic scoped-stack estimate for this kernel (bytes).
+
+    Measured: 30.93MB at block=4, (NYP,NZP)=(136,256) -> ~44 equivalent
+    (BX+1, NYP, NZP) fp32 buffers live at peak."""
+    NYP = _round_up(nny, 8)
+    NZP = _round_up(nnz, 128)
+    return 44 * (block + 1) * NYP * NZP * 4
+
+
+_VMEM_BUDGET = 46 * 1024 * 1024  # keep under the 48MB scoped limit
+
+
 def install_fused_matvec(op, min_dim=_MIN_DIM_FOR_KERNEL) -> bool:
     """Install the fused kernel on a VoxelOperator when profitable.
 
     Returns True if installed.  Criteria: every grid dimension >= min_dim
-    (padding overhead bounded) and the x extent tiles into blocks.
+    (padding overhead bounded), the x extent tiles into blocks, and the
+    kernel's scoped-VMEM footprint fits (grids ~>=192 in y/z need the
+    y-blocked kernel variant — future work — and fall back to XLA).
     """
     nels = op.grid.nels
     if min(nels) < min_dim:
         return False
+    nny, nnz = nels[1] + 1, nels[2] + 1
     for block in (4, 2):
-        if nels[0] % block == 0:
+        if nels[0] % block == 0 and \
+                _scoped_vmem_estimate(block, nny, nnz) <= _VMEM_BUDGET:
             op.set_fused_matvec(make_pallas_matvec(op, block=block))
             return True
     return False
