@@ -55,7 +55,7 @@ def _scoped_vmem_estimate(block, nny, nnz):
     return 44 * (block + 1) * NYP * NZP * 4
 
 
-_VMEM_BUDGET = 46 * 1024 * 1024  # keep under the 48MB scoped limit
+_VMEM_BUDGET = 34 * 1024 * 1024  # margin under the 48MB scoped limit
 
 
 def install_fused_matvec(op, min_dim=_MIN_DIM_FOR_KERNEL) -> bool:
