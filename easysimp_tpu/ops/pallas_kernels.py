@@ -146,10 +146,13 @@ def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, NYP, NZP):
                             continue
                         acc[i][dxc] = acc[i][dxc] + Ec * term
 
+    # Combine the two x-offset accumulators in VALUES and store each
+    # component once (no read-modify-write on the pipelined output buffer).
+    zplane = jnp.zeros((1, NYP, NZP), u_blk.dtype)
     for i in range(3):
-        out_ref[0, i, 0:BX] = acc[i][0]
-        out_ref[0, i, BX : BX + 1] = jnp.zeros((1, NYP, NZP), u_blk.dtype)
-        out_ref[0, i, 1 : BX + 1] = out_ref[0, i, 1 : BX + 1] + acc[i][1]
+        lo = jnp.concatenate([acc[i][0], zplane], axis=0)   # (BX+1, ...)
+        hi = jnp.concatenate([zplane, acc[i][1]], axis=0)
+        out_ref[0, i] = lo + hi
 
 
 def make_pallas_matvec(op, block=8, interpret=False):
