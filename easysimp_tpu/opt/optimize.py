@@ -252,7 +252,8 @@ def simp_optimize(grid, loads, boundary_conditions,
         from .optimize_unstructured import simp_optimize_unstructured
 
         return simp_optimize_unstructured(
-            grid, loads, boundary_conditions, params, acceleration_data
+            grid, loads, boundary_conditions, params, acceleration_data,
+            resume_from=resume_from,
         )
 
     print_info("Starting SIMP topology optimization (voxel path)")

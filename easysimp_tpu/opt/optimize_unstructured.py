@@ -150,7 +150,8 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
 
 def simp_optimize_unstructured(mesh, loads, boundary_conditions,
                                params: OptimizationParameters,
-                               acceleration_data=None) -> OptimizationResult:
+                               acceleration_data=None,
+                               resume_from=None) -> OptimizationResult:
     print_info("Starting SIMP topology optimization (unstructured path)")
     logger = None
     if params.export_path:
@@ -172,12 +173,39 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     energy_history, volume_history = [], []
     change_history, cg_history = [], []
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
+    start_iteration = 1
+    if resume_from:
+        from .checkpoint import load_checkpoint
+
+        state = load_checkpoint(resume_from)
+        design = jnp.asarray(state["design"], dtype=us.dtype)
+        u = jnp.asarray(state["u"], dtype=us.dtype)
+        start_iteration = state["iteration"] + 1
+        energy_history = state["energy_history"]
+        volume_history = state["volume_history"]
+        change_history = state["change_history"]
+        cg_history = state["cg_history"]
+        if state["checkpoint_triggered"]:
+            checkpoint_triggered = state["checkpoint_triggered"]
+
+    def _maybe_save_checkpoint(it, design, u):
+        if params.checkpoint_interval > 0 and params.checkpoint_path and \
+                it % params.checkpoint_interval == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                params.checkpoint_path,
+                design=np.asarray(design), u=np.asarray(u), iteration=it,
+                energy_history=energy_history, volume_history=volume_history,
+                change_history=change_history, cg_history=cg_history,
+                checkpoint_triggered=checkpoint_triggered,
+            )
 
     converged = False
-    iteration = 0
+    iteration = start_iteration - 1
     warned_health = False
 
-    for it in range(1, params.max_iterations + 1):
+    for it in range(start_iteration, params.max_iterations + 1):
         iteration = it
         (new_design, u, phys, energy, volume, change, lam, grayness,
          max_disp, cg_iters, _, _, frac_neg, _, rng) = step_jit(design, u)
@@ -227,6 +255,7 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
                 energy_history, volume_history, name=f"iter_{it:04d}")
 
         design = new_design
+        _maybe_save_checkpoint(it, design, u)
         if change < params.tolerance:
             print_success(f"Converged after {it} iterations")
             converged = True
