@@ -224,6 +224,32 @@ class UnstructuredOperator:
         out = out.at[self.dofmap].add(scale[:, None] * ked)
         return jnp.where(free_mask > 0, out, jnp.ones_like(out))
 
+    def block_diagonal_inverse(self, scale, free_mask):
+        """Inverse 3x3 nodal diagonal blocks of the BC-masked K.
+
+        Block Jacobi couples the three displacement components at each node —
+        markedly stronger than scalar Jacobi for elasticity (the off-diagonal
+        nodal coupling carries the Poisson effect).  Returns (n_nodes, 3, 3).
+        """
+        nn = self.ke.shape[1] // 3
+        # per-element per-corner 3x3 diagonal blocks of ke
+        ke_blocks = jnp.stack(
+            [self.ke[:, 3 * c : 3 * c + 3, 3 * c : 3 * c + 3]
+             for c in range(nn)], axis=1)                    # (E, nn, 3, 3)
+        conn = self.dofmap[:, ::3] // 3                      # (E, nn) node ids
+        B = jnp.zeros((self.n_nodes, 3, 3), dtype=scale.dtype)
+        B = B.at[conn].add(scale[:, None, None, None] * ke_blocks)
+        # BC masking: zero constrained rows/cols, identity on the diagonal
+        m = free_mask.reshape(self.n_nodes, 3)
+        B = B * m[:, :, None] * m[:, None, :]
+        B = B + (1.0 - m)[:, :, None] * jnp.eye(3, dtype=scale.dtype)[None]
+        return jnp.linalg.inv(B)
+
+    def apply_block_jacobi(self, Binv, r):
+        """M^-1 r with the inverted nodal blocks; r flat (3*n_nodes,)."""
+        z = jnp.einsum("nij,nj->ni", Binv, r.reshape(self.n_nodes, 3))
+        return z.reshape(-1)
+
     def element_energies_unit(self, u):
         ue, q = self.apply_elements(u)
         return jnp.sum(ue * q, axis=-1)
