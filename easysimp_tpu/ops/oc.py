@@ -2,10 +2,26 @@
 
 Port-of-semantics (not of code) of src/Optimization/OptimalityCriteria.jl:69-146
 — Sigmund's OC formula with move limits and damping, bisecting lambda in
-[1e-9, 1e9] until the volume constraint is met to ABSOLUTE tolerance 1e-6 —
-restructured as a single `lax.while_loop` so the whole update (including the
-density filter re-applied inside every bisection step when filter_type is
-:density, OptimalityCriteria.jl:119-125) compiles into the jitted SIMP step.
+[1e-9, 1e9] until the volume constraint is met to ABSOLUTE tolerance 1e-6.
+
+Two TPU-first restructurings, both producing the reference's exact bisection
+trajectory (same lmid sequence, same exit point):
+
+1. **Linear-filter volume identity.**  The reference re-applies the density
+   filter to every bisection candidate just to evaluate its physical volume
+   (OptimalityCriteria.jl:119-125).  The filter is a LINEAR map H, so
+   sum(H x * V) == dot(x, H^T V): pass `volume_weights = H^T V`
+   (= chain_rule(element_volumes), which the drivers already compute for the
+   volume sensitivities) and the conv disappears from the loop entirely.
+
+2. **Dyadic multi-step bisection.**  Each `lax.while_loop` pass evaluates the
+   volume error at all 15 dyadic midpoints the next four reference halving
+   steps could visit — one fused pass over the element fields computing 15
+   dots — then replays those four steps on scalars.  The midpoints are built
+   by the same nested 0.5*(lo+hi) averaging the reference performs, so the
+   lmid sequence is bit-identical; memory passes drop ~4x.  The candidate
+   density field is materialized ONCE after the loop (it is a deterministic
+   elementwise function of the final lmid), not per pass.
 
 One extra exit condition vs the reference: the loop also stops when the
 bisection interval collapses to machine precision, after which lambda_mid (and
@@ -28,6 +44,27 @@ LAMBDA_HI = 1e9
 VOLUME_TOL = 1e-6     # ABSOLUTE volume tolerance (OptimalityCriteria.jl:91)
 MAX_BISECTION = 200   # (OptimalityCriteria.jl:92)
 
+_STEPS_PER_PASS = 4   # reference halving steps emulated per memory pass
+
+
+def _dyadic_midpoints(lo, hi, depth):
+    """All lmid values the next `depth` halving steps can visit, by the same
+    nested 0.5*(lo+hi) averaging the reference performs (bit-exact).
+
+    Returns a (2**depth - 1,) array; index m-1 holds the midpoint of the
+    dyadic sub-interval [a, b] with m = (a+b)/2 on the 2**depth grid.
+    """
+    n = 2 ** depth
+    vals = [None] * (n + 1)
+    vals[0], vals[n] = lo, hi
+    span = n
+    while span > 1:
+        half = span // 2
+        for a in range(0, n, span):
+            vals[a + half] = 0.5 * (vals[a] + vals[a + span])
+        span = half
+    return jnp.stack(vals[1:n])
+
 
 def oc_update(
     densities,
@@ -39,6 +76,7 @@ def oc_update(
     move_limit: float = 0.2,
     damping: float = 0.5,
     apply_physical: Callable | None = None,
+    volume_weights=None,
 ):
     """One OC design update.
 
@@ -51,14 +89,19 @@ def oc_update(
         data; element_volumes may be a scalar (uniform voxels) or an array.
       move_limit, damping: OC parameters.
       apply_physical: design->physical map evaluated on every candidate inside
-        the bisection (density filter), or None for identity.
+        the bisection (density filter), or None for identity.  Ignored when
+        volume_weights is given.
+      volume_weights: per-element weights w such that the candidate's PHYSICAL
+        volume is dot(candidate, w).  For a linear design->physical filter H
+        this is H^T element_volumes == chain_rule(element_volumes) — exactly
+        total_volume * volume_sensitivities as the drivers build them — and
+        replaces the reference's filter-in-bisection with a dot product.
 
     Returns:
-      (new_design_densities, lambda_mid, bisection_iterations)
+      (new_design_densities, lambda_mid, bisection_iterations, volume_error)
     """
     dtype = densities.dtype
-    if apply_physical is None:
-        apply_physical = lambda x: x
+    shape = densities.shape
 
     target_volume = jnp.asarray(target_volume_fraction, dtype) * jnp.asarray(
         total_volume, dtype
@@ -66,6 +109,7 @@ def oc_update(
     move = jnp.asarray(move_limit, dtype)
     x_min = jnp.asarray(X_MIN, dtype)
     eps = jnp.finfo(dtype).eps
+    tol = jnp.asarray(VOLUME_TOL, dtype)
 
     # Per-element invariants hoisted out of the bisection (the loop runs
     # O(50-200) passes over multi-million-element fields):
@@ -73,53 +117,90 @@ def oc_update(
     # and the reference's nested clamp (OptimalityCriteria.jl:110-116)
     # max(xmin, max(rho-m, min(1, min(rho+m, ratio)))) equals
     # clip(ratio, max(xmin, rho-m), min(1, rho+m)) exactly (max/min
-    # reassociation is exact in fp).  Each pass is then one scalar power,
-    # one multiply, two clamps, and the volume reduction.
+    # reassociation is exact in fp).
     d_exp = jnp.asarray(damping, dtype)
     q = densities * (jnp.abs(sensitivities) / volume_sensitivities) ** d_exp
-    lo = jnp.maximum(x_min, densities - move)
-    hi = jnp.minimum(jnp.asarray(1.0, dtype), densities + move)
+    lo_e = jnp.maximum(x_min, densities - move)
+    hi_e = jnp.minimum(jnp.asarray(1.0, dtype), densities + move)
 
     def candidate(lmid):
-        return jnp.clip(q * lmid**(-d_exp), lo, hi)
+        return jnp.clip(q * lmid ** (-d_exp), lo_e, hi_e)
 
-    def volume_error(new):
-        phys = apply_physical(new)
-        return jnp.sum(phys * element_volumes) - target_volume
+    K = 2 ** _STEPS_PER_PASS - 1
+    if volume_weights is not None:
+        w_flat = jnp.broadcast_to(
+            jnp.asarray(volume_weights, dtype), shape).reshape(-1)
+        qf, lof, hif = q.reshape(-1), lo_e.reshape(-1), hi_e.reshape(-1)
+
+        def volume_errors(lams):
+            # (K, N) candidates contracted against w on the MXU; XLA fuses
+            # the clip into the operand, one pass over the element fields.
+            cand = jnp.clip(qf[None, :] * lams[:, None] ** (-d_exp),
+                            lof[None, :], hif[None, :])
+            return jnp.dot(cand, w_flat,
+                           precision=jax.lax.Precision.HIGHEST) - target_volume
+    else:
+        if apply_physical is None:
+            apply_physical = lambda x: x
+
+        def volume_errors(lams):
+            errs = []
+            for k in range(K):
+                phys = apply_physical(candidate(lams[k]))
+                errs.append(jnp.sum(phys * element_volumes) - target_volume)
+            return jnp.stack(errs)
 
     def cond(state):
-        lo, hi, new, lmid, verr, it = state
-        not_converged = jnp.abs(verr) >= VOLUME_TOL
+        lo, hi, lam, verr, it, done = state
         interval_open = (hi - lo) > eps * hi
         return jnp.logical_or(
             it == 0,
             jnp.logical_and(
-                it < MAX_BISECTION, jnp.logical_and(not_converged, interval_open)
+                it < MAX_BISECTION,
+                jnp.logical_and(jnp.logical_not(done), interval_open),
             ),
         )
 
     def body(state):
-        lo, hi, new, lmid, verr, it = state
-        lmid = 0.5 * (lo + hi)
-        new = candidate(lmid)
-        verr = volume_error(new)
-        # Too much material -> raise lambda; too little -> lower it.
-        lo = jnp.where(verr > 0, lmid, lo)
-        hi = jnp.where(verr > 0, hi, lmid)
-        return (lo, hi, new, lmid, verr, it + 1)
+        lo, hi, lam, verr, it, done = state
+        lams = _dyadic_midpoints(lo, hi, _STEPS_PER_PASS)
+        verrs = volume_errors(lams)
 
-    lo0 = jnp.asarray(LAMBDA_LO, dtype)
-    hi0 = jnp.asarray(LAMBDA_HI, dtype)
+        # Replay the reference halving steps on scalars.  Integer bracket
+        # [a, b] on the 2**depth grid; midpoint index m = (a+b)/2 maps to
+        # lams[m-1] / verrs[m-1].
+        a = jnp.int32(0)
+        b = jnp.int32(2 ** _STEPS_PER_PASS)
+        for _ in range(_STEPS_PER_PASS):
+            m = (a + b) // 2
+            lam_m = lams[m - 1]
+            verr_m = verrs[m - 1]
+            active = jnp.logical_and(jnp.logical_not(done), it < MAX_BISECTION)
+            newly_done = jnp.logical_and(active, jnp.abs(verr_m) < tol)
+            lam = jnp.where(active, lam_m, lam)
+            verr = jnp.where(active, verr_m, verr)
+            it = it + active.astype(jnp.int32)
+            done = jnp.logical_or(done, newly_done)
+            moved = jnp.logical_and(active, jnp.logical_not(newly_done))
+            # Too much material -> raise lambda; too little -> lower it.
+            go_up = verr_m > 0
+            a = jnp.where(jnp.logical_and(moved, go_up), m, a)
+            b = jnp.where(jnp.logical_and(moved, jnp.logical_not(go_up)), m, b)
+        ends = jnp.concatenate([lo[None], lams, hi[None]])
+        return (ends[a], ends[b], lam, verr, it, done)
+
     init = (
-        lo0,
-        hi0,
-        densities,
+        jnp.asarray(LAMBDA_LO, dtype),
+        jnp.asarray(LAMBDA_HI, dtype),
         jnp.asarray(0.0, dtype),
         jnp.asarray(jnp.inf, dtype),
         jnp.int32(0),
+        jnp.asarray(False),
     )
-    lo, hi, new, lmid, verr, it = jax.lax.while_loop(cond, body, init)
-    return new, lmid, it
+    lo, hi, lam, verr, it, done = jax.lax.while_loop(cond, body, init)
+    # The candidate field is a deterministic elementwise function of the final
+    # lmid — materialize it once, outside the loop.
+    return candidate(lam), lam, it, verr
 
 
 def sensitivity_health(sensitivities):

@@ -10,11 +10,13 @@ long runs survive preemption (a first-class concern on TPU fleets).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..utils.terminal import print_info, print_success
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "restore_triggered"]
 
 _FORMAT_VERSION = 1
 
@@ -25,8 +27,13 @@ def save_checkpoint(path, *, design, u, iteration, energy_history,
     """Write optimizer state; arrays are stored in float64."""
     if not path.endswith(".npz"):
         path = path + ".npz"
+    # Atomic update: write a sibling temp file and os.replace() it over the
+    # target, so a preemption mid-write (the exact scenario checkpointing
+    # exists for) can never truncate the only saved state.  The temp name
+    # keeps the .npz suffix (np.savez would append one otherwise).
+    tmp = path + ".tmp.npz"
     np.savez_compressed(
-        path,
+        tmp,
         format_version=_FORMAT_VERSION,
         design=np.asarray(design, dtype=np.float64),
         u=np.asarray(u, dtype=np.float64),
@@ -38,6 +45,7 @@ def save_checkpoint(path, *, design, u, iteration, energy_history,
         checkpoint_triggered=np.asarray(checkpoint_triggered, dtype=bool),
         converged=bool(converged),
     )
+    os.replace(tmp, path)
     print_success(f"Checkpoint saved: {path} (iteration {iteration})")
     return path
 
@@ -63,3 +71,23 @@ def load_checkpoint(path) -> dict:
         }
     print_info(f"Checkpoint loaded: {path} (iteration {state['iteration']})")
     return state
+
+
+def restore_triggered(saved, tolerance_checkpoints) -> list[bool]:
+    """Validate + restore the tolerance-checkpoint flags on resume.
+
+    The flags are positional (flag[i] belongs to tolerance_checkpoints[i]);
+    resuming with a different checkpoint list would silently map flags to the
+    wrong thresholds, so a length mismatch is an error.
+    """
+    saved = list(saved)
+    if not saved:
+        return [False] * len(tolerance_checkpoints)
+    if len(saved) != len(tolerance_checkpoints):
+        raise ValueError(
+            f"checkpoint was saved with {len(saved)} tolerance checkpoints "
+            f"but params.tolerance_checkpoints has "
+            f"{len(tolerance_checkpoints)}; the flags are positional — "
+            f"resume with the same tolerance_checkpoints list"
+        )
+    return [bool(v) for v in saved]

@@ -116,7 +116,7 @@ class VoxelStep:
     # at 128^3 (scoped-resource interaction); two dispatches cost ~nothing.
     STEP_OUTPUTS = (
         "new_design", "u", "phys", "energy", "volume", "lam",
-        "cg_iters", "cg_residual", "bisect_iters", "fsens",
+        "cg_iters", "cg_residual", "bisect_iters", "bisect_verr", "fsens",
     )
     METRICS_OUTPUTS = (
         "change", "grayness", "max_disp",
@@ -194,17 +194,20 @@ def build_voxel_step(grid, loads, boundary_conditions,
         sens = op.compliance_sensitivities(u, phys)
         if use_density_filter:
             fsens = filt.chain_rule(sens)
-            apply_phys = filt.density_filter
         else:
             fsens = filt.sensitivity_filter(design, sens)
-            apply_phys = None
 
-        new_design, lam, bisect_iters = oc_update(
+        # volume_weights = H^T V = total_volume * vsens for BOTH filter types
+        # (vsens is chain-ruled once for the density filter,
+        # Optimization.jl:241-248) — replaces the reference's
+        # filter-in-bisection with a dot product (see ops/oc.py).
+        new_design, lam, bisect_iters, bisect_verr = oc_update(
             design, fsens, vsens, params.volume_fraction, total_volume,
-            elem_vol, params.move_limit, params.damping, apply_phys,
+            elem_vol, params.move_limit, params.damping,
+            volume_weights=vsens * total_volume,
         )
         return (new_design, u, phys, energy, volume, lam, sol.iterations,
-                sol.residual_norm, bisect_iters, fsens)
+                sol.residual_norm, bisect_iters, bisect_verr, fsens)
 
     def metrics(new_design, design, phys, u, fsens):
         """Convergence + diagnostic reductions (own program, see above)."""
@@ -284,7 +287,7 @@ def simp_optimize(grid, loads, boundary_conditions,
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
     start_iteration = 1
     if resume_from:
-        from .checkpoint import load_checkpoint
+        from .checkpoint import load_checkpoint, restore_triggered
 
         state = load_checkpoint(resume_from)
         design = jnp.asarray(state["design"], dtype=vs.dtype)
@@ -294,8 +297,8 @@ def simp_optimize(grid, loads, boundary_conditions,
         volume_history = state["volume_history"]
         change_history = state["change_history"]
         cg_history = state["cg_history"]
-        if state["checkpoint_triggered"]:
-            checkpoint_triggered = state["checkpoint_triggered"]
+        checkpoint_triggered = restore_triggered(
+            state["checkpoint_triggered"], params.tolerance_checkpoints)
     if params.tolerance_checkpoints:
         print_info(
             f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
@@ -303,6 +306,7 @@ def simp_optimize(grid, loads, boundary_conditions,
     converged = False
     iteration = start_iteration - 1
     warned_health = False
+    warned_bisection = False
 
     def _maybe_save_checkpoint(it, design, u):
         if params.checkpoint_interval > 0 and params.checkpoint_path and \
@@ -326,7 +330,7 @@ def simp_optimize(grid, loads, boundary_conditions,
             profile_ctx = _profiler.trace(params.profile_dir)
             profile_ctx.__enter__()
         (new_design, u_new, phys, energy, volume, lam, cg_iters, cg_res,
-         bisect_iters, fsens) = step_jit(design, u, *vs.step_args)
+         bisect_iters, bisect_verr, fsens) = step_jit(design, u, *vs.step_args)
         (change, grayness, max_disp, frac_neg, center, rng) = metrics_jit(
             new_design, design, phys, u_new, fsens)
         u = u_new
@@ -360,6 +364,18 @@ def simp_optimize(grid, loads, boundary_conditions,
                     f"{float(rng):.3e})."
                 )
                 warned_health = True
+
+        # OC bisection non-convergence warning (OptimalityCriteria.jl:139-142).
+        # Warned once, not per iteration: in fp32 at multi-million-cell grids
+        # the 1e-6 ABSOLUTE tolerance sits below the rounding of the volume
+        # reduction itself, so the bisection always terminates on interval
+        # collapse instead (with the volume met to fp32 precision).
+        if not warned_bisection and abs(float(bisect_verr)) >= 1e-6:
+            print_warning(
+                f"OC bisection did not converge after {int(bisect_iters)} "
+                f"iterations (|volume error| = {abs(float(bisect_verr)):.3e})"
+            )
+            warned_bisection = True
 
         if logger is not None:
             logger.log_iteration(

@@ -131,13 +131,15 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         sens = op.compliance_sensitivities(u, phys)
         if use_density_filter:
             fsens = filt.chain_rule(sens)
-            apply_phys = filt.density_filter
         else:
             fsens = filt.sensitivity_filter(design, sens)
-            apply_phys = None
-        new_design, lam, bisect_iters = oc_update(
+        # volume_weights = H^T V = total_volume * vol_sens for both filter
+        # types — replaces the reference's filter-in-bisection with a dot
+        # product (see ops/oc.py).
+        new_design, lam, bisect_iters, bisect_verr = oc_update(
             design, fsens, vol_sens, params.volume_fraction, total_volume,
-            element_volumes, params.move_limit, params.damping, apply_phys,
+            element_volumes, params.move_limit, params.damping,
+            volume_weights=vol_sens * total_volume,
         )
         change = jnp.max(jnp.abs(new_design - design))
         grayness = jnp.mean(
@@ -146,7 +148,7 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         frac_neg, med, rng = sensitivity_health(fsens)
         return (new_design, u, phys, energy, volume, change, lam, grayness,
                 max_disp, sol.iterations, sol.residual_norm, bisect_iters,
-                frac_neg, med, rng)
+                bisect_verr, frac_neg, med, rng)
 
     def solve_only(design):
         phys, sol, energy, _ = forward(design, jnp.zeros_like(u0))
@@ -184,7 +186,7 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
     start_iteration = 1
     if resume_from:
-        from .checkpoint import load_checkpoint
+        from .checkpoint import load_checkpoint, restore_triggered
 
         state = load_checkpoint(resume_from)
         design = jnp.asarray(state["design"], dtype=us.dtype)
@@ -194,8 +196,8 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
         volume_history = state["volume_history"]
         change_history = state["change_history"]
         cg_history = state["cg_history"]
-        if state["checkpoint_triggered"]:
-            checkpoint_triggered = state["checkpoint_triggered"]
+        checkpoint_triggered = restore_triggered(
+            state["checkpoint_triggered"], params.tolerance_checkpoints)
 
     def _maybe_save_checkpoint(it, design, u):
         if params.checkpoint_interval > 0 and params.checkpoint_path and \
@@ -213,11 +215,13 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     converged = False
     iteration = start_iteration - 1
     warned_health = False
+    warned_bisection = False
 
     for it in range(start_iteration, params.max_iterations + 1):
         iteration = it
         (new_design, u, phys, energy, volume, change, lam, grayness,
-         max_disp, cg_iters, _, _, frac_neg, _, rng) = step_jit(design, u)
+         max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg, _,
+         rng) = step_jit(design, u)
 
         energy, volume, change = float(energy), float(volume), float(change)
         vol_frac = volume / total_volume
@@ -237,6 +241,14 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
                     f"Sensitivity range too large (max/median: "
                     f"{float(rng):.3e}).")
                 warned_health = True
+
+        # OC bisection non-convergence warning (OptimalityCriteria.jl:139-142)
+        if not warned_bisection and abs(float(bisect_verr)) >= 1e-6:
+            print_warning(
+                f"OC bisection did not converge after {int(bisect_iters)} "
+                f"iterations (|volume error| = {abs(float(bisect_verr)):.3e})"
+            )
+            warned_bisection = True
 
         if logger is not None:
             logger.log_iteration(it, energy, vol_frac, change, float(lam),

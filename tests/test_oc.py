@@ -22,7 +22,7 @@ class TestOCUpdate:
         new_ref, lam_ref = oc_update_reference(
             rho, sens, vol_sens, 0.4, vols.sum(), vols, 0.2, 0.5
         )
-        new, lam, its = oc_update(
+        new, lam, its, verr = oc_update(
             jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
             0.4, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
         )
@@ -32,7 +32,7 @@ class TestOCUpdate:
 
     def test_volume_constraint_satisfied(self):
         rho, sens, vols, vol_sens, _ = random_state(seed=6)
-        new, lam, its = oc_update(
+        new, lam, its, verr = oc_update(
             jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
             0.5, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
         )
@@ -41,7 +41,7 @@ class TestOCUpdate:
 
     def test_bounds_and_move_limits(self):
         rho, sens, vols, vol_sens, _ = random_state(seed=7)
-        new, _, _ = oc_update(
+        new, _, _, _ = oc_update(
             jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
             0.4, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
         )
@@ -72,7 +72,7 @@ class TestOCUpdate:
             rho, sens, vol_sens, 0.45, vols.sum(), vols, 0.2, 0.5,
             density_filter=ref_filt.density_filter,
         )
-        new, lam, _ = oc_update(
+        new, lam, _, _ = oc_update(
             jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
             0.45, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
             apply_physical=filt.density_filter,
@@ -82,6 +82,53 @@ class TestOCUpdate:
         # physical volume satisfied
         phys = np.asarray(filt.density_filter(new))
         assert abs(np.dot(phys, vols) - 0.45 * vols.sum()) < 1e-6
+
+    def test_volume_weights_identity(self):
+        """The linear-filter identity sum(H x * V) == dot(x, H^T V) lets the
+        drivers replace the filter-in-bisection with precomputed weights;
+        the result must match the conv-in-loop path (and the literal port)
+        to fp rounding."""
+        rng = np.random.default_rng(21)
+        centers = rng.uniform(0, 5, (120, 3))
+        vols = rng.uniform(0.8, 1.2, 120)
+        radius = 1.2
+
+        from easysimp_tpu.ops.filters import UnstructuredFilter
+
+        filt = UnstructuredFilter(centers, vols, radius, dtype=jnp.float64)
+        rho = rng.uniform(0.1, 0.9, 120)
+        sens = -rng.uniform(0.01, 3.0, 120)
+        vol_sens = np.asarray(filt.chain_rule(jnp.asarray(vols / vols.sum())))
+
+        new_conv, lam_conv, _, _ = oc_update(
+            jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
+            0.45, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
+            apply_physical=filt.density_filter,
+        )
+        new_w, lam_w, _, verr = oc_update(
+            jnp.asarray(rho), jnp.asarray(sens), jnp.asarray(vol_sens),
+            0.45, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
+            volume_weights=jnp.asarray(vol_sens) * vols.sum(),
+        )
+        np.testing.assert_allclose(np.asarray(new_w), np.asarray(new_conv),
+                                   rtol=1e-10, atol=1e-12)
+        assert np.isclose(float(lam_w), float(lam_conv), rtol=1e-9)
+        assert abs(float(verr)) < 1e-6
+
+    def test_verr_reports_nonconvergence(self):
+        """The returned volume error drives the driver's non-convergence
+        warning (OptimalityCriteria.jl:139-142): an infeasible target (volume
+        below what the move limit can reach) must exit with |verr| >= tol."""
+        rho = jnp.full(50, 0.9)
+        sens = -jnp.ones(50)
+        vols = np.full(50, 1.0)
+        vol_sens = jnp.asarray(vols / vols.sum())
+        new, lam, its, verr = oc_update(
+            rho, sens, vol_sens, 0.05, vols.sum(), jnp.asarray(vols), 0.2, 0.5,
+        )
+        # move limit floors densities at 0.7 -> volume 35 vs target 2.5
+        assert abs(float(verr)) >= 1e-6
+        np.testing.assert_allclose(np.asarray(new), 0.7, rtol=1e-12)
 
 
 def test_sensitivity_health():

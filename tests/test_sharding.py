@@ -115,3 +115,25 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out[3]))
     ge.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_driver_env():
+    """dryrun_multichip must pass in the DRIVER's environment — a fresh
+    process with virtual CPU devices via XLA_FLAGS and WITHOUT conftest's
+    jax_platforms pin (round 1 failed here: jax.devices() booted the TPU
+    backend before the CPU fallback could engage, VERDICT.md item 1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTEST_CURRENT_TEST")}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"dryrun_multichip failed in driver env:\n{proc.stderr[-3000:]}")
+    assert "dryrun_multichip OK" in proc.stdout
