@@ -62,23 +62,25 @@ def run_measurement():
 
     t0 = time.time()
     vs = build_voxel_step(grid, [load], [bc], params)
-    step = jax.jit(vs.step, donate_argnums=(0, 1))
-    design, u = vs.design0, vs.u0
+    step = jax.jit(vs.step, donate_argnums=(0, 1, 2))
+    design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
+    if vs.power_init is not None:
+        pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
 
-    outs = step(design, u, *vs.step_args)
+    outs = step(design, u, pvecs, *vs.step_args)
     jax.block_until_ready(outs)
     log(f"compile+first step: {time.time() - t0:.1f}s; "
         f"energy {float(outs[3]):.6e} cg {int(outs[6])}")
-    design, u = outs[0], outs[1]
-    outs = step(design, u, *vs.step_args)
+    design, u, pvecs = outs[0], outs[1], outs[-1]
+    outs = step(design, u, pvecs, *vs.step_args)
     jax.block_until_ready(outs)
     log(f"warm step 2: energy {float(outs[3]):.6e} cg {int(outs[6])}")
-    design, u = outs[0], outs[1]
+    design, u, pvecs = outs[0], outs[1], outs[-1]
 
     t0 = time.time()
     for _ in range(n_timed):
-        outs = step(design, u, *vs.step_args)
-        design, u = outs[0], outs[1]
+        outs = step(design, u, pvecs, *vs.step_args)
+        design, u, pvecs = outs[0], outs[1], outs[-1]
     jax.block_until_ready(outs)
     elapsed = time.time() - t0
 

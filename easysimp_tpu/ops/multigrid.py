@@ -88,18 +88,29 @@ class MultigridPreconditioner:
 
     def __init__(self, fine_op: VoxelOperator, levels: int = 0,
                  smooth_iters: int = 1, power_iters: int = 10,
-                 cycle_dtype=None, smoother: str = "chebyshev"):
+                 refresh_iters: int = 2, cycle_dtype=None,
+                 smoother: str = "chebyshev"):
         self.smooth_iters = int(smooth_iters)
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         self.smoother = smoother
-        # power_iters>0: estimate lambda_max by power iteration per SIMP
-        # iteration (~power_iters matvecs/level of setup); 0 uses the free
-        # Gershgorin bound, whose ~1.5-2x overestimate costs CG iterations.
-        # Measured on a realistic mid-optimization 64^3 field, Chebyshev
-        # V(1,1) with power-estimated lambda is the cheapest total-matvec
-        # configuration (see commit history) — hence these defaults.
+        # power_iters>0: estimate lambda_max by power iteration (~power_iters
+        # matvecs/level); 0 uses the free Gershgorin bound, whose ~1.5-2x
+        # overestimate costs CG iterations.  Measured on a realistic
+        # mid-optimization 64^3 field, Chebyshev V(1,1) with power-estimated
+        # lambda is the cheapest total-matvec configuration (see commit
+        # history) — hence these defaults.
+        #
+        # refresh_iters: with a CARRIED power vector (stateful_factory), each
+        # SIMP iteration only refreshes the estimate.  lambda_max of D^-1 A
+        # drifts slowly under the 0.2 move limit: measured at 32x16x16, a
+        # converged vector re-estimates to 95% of lambda_max after ONE
+        # iteration on the perturbed operator (vs 53% for a cold start after
+        # two), so 2 warm iterations + the 1.1 headroom replace the 10-per-
+        # iteration cold estimates — cutting MG setup from ~60ms to ~12ms
+        # per SIMP iteration at 128^3.
         self.power_iters = int(power_iters)
+        self.refresh_iters = int(refresh_iters)
         self.dtype = fine_op.dtype
         # cycle_dtype: run the V-cycle interior (smoothing matvecs, transfer
         # ops) in a lower precision than the CG iteration — e.g. bfloat16.
@@ -177,47 +188,89 @@ class MultigridPreconditioner:
         Ks = Ks + shift * jnp.eye(n, dtype=self.dtype)
         return jax.scipy.linalg.cho_factor(Ks), dinv_sqrt
 
-    def _estimate_lambda_max(self, lvl, scale, mask, diag):
-        """Power iteration on D^{-1} A (same spectrum as the symmetrized
-        operator).  The estimate feeds a fixed per-setup omega, so the
-        resulting smoother — and hence M — stays LINEAR in the residual."""
-        op = self.ops[lvl]
-        shape = (*op.grid.nnodes_per_axis, 3)
-        # Deterministic pseudo-random start with broad spectral content.
-        # Integer Knuth-hash instead of sin(large x): TPU transcendentals are
-        # not accurate/finite for arguments ~1e7, which poisoned the omega
-        # estimate (and the whole V-cycle) with NaNs.
+    def _hash_vector(self, lvl):
+        """Deterministic pseudo-random start with broad spectral content.
+        Integer Knuth-hash instead of sin(large x): TPU transcendentals are
+        not accurate/finite for arguments ~1e7, which poisoned the omega
+        estimate (and the whole V-cycle) with NaNs."""
+        shape = (*self.ops[lvl].grid.nnodes_per_axis, 3)
         n = int(np.prod(shape))
         h = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
         v = (h >> 8).astype(self.dtype) / jnp.asarray(2.0**24, self.dtype) - 0.5
-        v = v.reshape(shape) * mask
-        lam = jnp.asarray(1.0, self.dtype)
-        for _ in range(self.power_iters):
-            w = op.apply(v, scale, mask) / diag
-            lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v),
-                                                        jnp.finfo(self.dtype).tiny))
-            v = w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)),
-                                jnp.finfo(self.dtype).tiny)
-        return lam
+        return v.reshape(shape)
 
-    def setup(self, scale, free_mask):
-        """Per-SIMP-iteration setup (inside jit): level moduli, masks,
-        diagonals, smoother weights, coarsest factorization."""
-        scales, masks, diags, omegas, lams = [scale], [free_mask], [], [], []
+    def init_power_vectors(self):
+        """Per-level start vectors for the carried power-iteration state."""
+        return tuple(self._hash_vector(lvl) for lvl in range(self.n_levels))
+
+    def _estimate_lambda_max(self, lvl, scale, mask, diag, v, iters):
+        """Power iteration on D^{-1} A (same spectrum as the symmetrized
+        operator), warm-started from v.  The estimate feeds a fixed per-setup
+        omega, so the resulting smoother — and hence M — stays LINEAR in the
+        residual.  Returns (lam, final_normalized_vector)."""
+        op = self.ops[lvl]
+        tiny = jnp.finfo(self.dtype).tiny
+        v = v * mask
+        lam = jnp.asarray(1.0, self.dtype)
+        for _ in range(iters):
+            w = op.apply(v, scale, mask) / diag
+            lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v), tiny))
+            v = w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), tiny)
+        return lam, v
+
+    def _coarsen_fields(self, scale, free_mask):
+        scales, masks = [scale], [free_mask]
         for lvl in range(1, self.n_levels):
             scales.append(coarsen_cells(scales[-1]))
             masks.append(coarsen_mask(masks[-1]))
+        return scales, masks
+
+    def power_init(self, scale, free_mask):
+        """Full (cold) power estimation on all levels; returns the converged
+        vectors for the drivers to carry through the SIMP iterations.  Run
+        ONCE before the loop (one small jitted program)."""
+        scales, masks = self._coarsen_fields(scale, free_mask)
+        vecs = []
+        for lvl in range(self.n_levels):
+            diag = self.ops[lvl].diagonal(scales[lvl], masks[lvl])
+            _, v = self._estimate_lambda_max(
+                lvl, scales[lvl], masks[lvl], diag, self._hash_vector(lvl),
+                self.power_iters)
+            vecs.append(v)
+        return tuple(vecs)
+
+    def setup(self, scale, free_mask, power_vectors=None):
+        """Per-SIMP-iteration setup (inside jit): level moduli, masks,
+        diagonals, smoother weights, coarsest factorization.
+
+        power_vectors: carried per-level power-iteration state (see
+        stateful_factory) — refreshed with `refresh_iters` iterations and a
+        1.1 staleness headroom.  None = cold start from the hash vectors with
+        the full `power_iters` (and the measured 1.05 headroom).
+
+        Returns (state, new_power_vectors).
+        """
+        cold = power_vectors is None
+        if cold:
+            power_vectors = self.init_power_vectors()
+        iters = self.power_iters if cold else self.refresh_iters
+        headroom = 1.05 if cold else 1.1
+        scales, masks = self._coarsen_fields(scale, free_mask)
+        diags, omegas, lams, new_vecs = [], [], [], []
         for lvl in range(self.n_levels):
             diag = self.ops[lvl].diagonal(scales[lvl], masks[lvl])
             diags.append(diag)
             if self.power_iters > 0:
-                lam = self._estimate_lambda_max(lvl, scales[lvl], masks[lvl],
-                                                diag)
-                lam = 1.05 * lam  # headroom for an under-converged estimate
+                lam, v = self._estimate_lambda_max(
+                    lvl, scales[lvl], masks[lvl], diag, power_vectors[lvl],
+                    iters)
+                lam = headroom * lam
+                new_vecs.append(v)
             else:
                 # Gershgorin: lam_max(D^-1 A) <= max_i rowabs_i / diag_i.
                 rowabs = self.ops[lvl].row_abs_sums(scales[lvl], masks[lvl])
                 lam = jnp.max(rowabs / diag)
+                new_vecs.append(power_vectors[lvl])
             lams.append(lam)
             # omega = 4/(3 lam): contraction ~1/3 on the upper half-spectrum
             # at the true lam_max, |1 - w*lam| < 1 everywhere below the bound.
@@ -238,7 +291,7 @@ class MultigridPreconditioner:
             state["diags"] = [d.astype(lp) for d in diags]
             state["omegas"] = [o.astype(lp) for o in omegas]
             state["lams"] = [l.astype(lp) for l in lams]
-        return state
+        return state, tuple(new_vecs)
 
     # ------------------------------------------------------------------
     def _smooth(self, lvl, state, r, x, iters):
@@ -302,19 +355,35 @@ class MultigridPreconditioner:
         x = self._smooth(lvl, state, r, x, self.smooth_iters)
         return x
 
+    def _make_M(self, state):
+        lp = self.cycle_dtype
+
+        def M(r):
+            if lp is None:
+                return self._vcycle(0, state, r)
+            # low-precision cycle: cast in, compute, cast out
+            return self._vcycle(0, state, r.astype(lp)).astype(r.dtype)
+
+        return M
+
     def preconditioner_factory(self):
-        """Factory used by the driver: (scale, mask) -> M(r)."""
+        """Cold factory: (scale, mask) -> M(r).  Full power estimation per
+        call — for one-off solves and tests; the drivers use
+        stateful_factory."""
 
         def factory(scale, free_mask):
-            state = self.setup(scale, free_mask)
-            lp = self.cycle_dtype
+            state, _ = self.setup(scale, free_mask)
+            return self._make_M(state)
 
-            def M(r):
-                if lp is None:
-                    return self._vcycle(0, state, r)
-                # low-precision cycle: cast in, compute, cast out
-                return self._vcycle(0, state, r.astype(lp)).astype(r.dtype)
+        return factory
 
-            return M
+    def stateful_factory(self):
+        """Stateful factory: (scale, mask, power_vectors) ->
+        (M(r), new_power_vectors).  The caller threads the per-level power
+        vectors through the SIMP iterations (see setup)."""
+
+        def factory(scale, free_mask, power_vectors):
+            state, new_vecs = self.setup(scale, free_mask, power_vectors)
+            return self._make_M(state), new_vecs
 
         return factory

@@ -23,10 +23,17 @@ _FORMAT_VERSION = 1
 
 def save_checkpoint(path, *, design, u, iteration, energy_history,
                     volume_history, change_history, cg_history,
-                    checkpoint_triggered, converged=False) -> str:
-    """Write optimizer state; arrays are stored in float64."""
+                    checkpoint_triggered, converged=False, pvecs=()) -> str:
+    """Write optimizer state; arrays are stored in float64.
+
+    pvecs: the multigrid lambda_max power-iteration state (per-level node
+    fields) — persisted so a resumed run reproduces the uninterrupted
+    trajectory exactly (the warm smoother estimates differ from a cold
+    re-initialization at the CG-tolerance level)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
+    pvec_arrays = {f"pvec_{i}": np.asarray(v, dtype=np.float64)
+                   for i, v in enumerate(pvecs)}
     # Atomic update: write a sibling temp file and os.replace() it over the
     # target, so a preemption mid-write (the exact scenario checkpointing
     # exists for) can never truncate the only saved state.  The temp name
@@ -44,6 +51,7 @@ def save_checkpoint(path, *, design, u, iteration, energy_history,
         cg_history=np.asarray(cg_history, dtype=np.int64),
         checkpoint_triggered=np.asarray(checkpoint_triggered, dtype=bool),
         converged=bool(converged),
+        **pvec_arrays,
     )
     os.replace(tmp, path)
     print_success(f"Checkpoint saved: {path} (iteration {iteration})")
@@ -69,6 +77,13 @@ def load_checkpoint(path) -> dict:
             "checkpoint_triggered": z["checkpoint_triggered"].tolist(),
             "converged": bool(z["converged"]),
         }
+        pvecs = []
+        for i in range(len(z.files)):
+            key = f"pvec_{i}"
+            if key not in z.files:
+                break
+            pvecs.append(z[key])
+        state["pvecs"] = pvecs
     print_info(f"Checkpoint loaded: {path} (iteration {state['iteration']})")
     return state
 

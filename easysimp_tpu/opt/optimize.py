@@ -52,7 +52,13 @@ def _resolve_dtype(params: OptimizationParameters):
 
 
 def _build_preconditioner(op, params):
-    """Returns precond_factory(scale, free_mask) -> M(r).
+    """Returns (factory, power_vectors0, power_init).
+
+    factory(scale, free_mask, power_vectors) -> (M(r), new_power_vectors) —
+    the power vectors are the multigrid smoother's carried lambda_max
+    estimation state (empty tuple for Jacobi/none, which ignore it).
+    power_init(scale, free_mask) -> power_vectors is the one-time cold
+    estimation the drivers run before the loop (None when not needed).
 
     'auto' resolves to multigrid for voxel grids when a hierarchy exists,
     else Jacobi (see ops/multigrid.py)."""
@@ -67,20 +73,21 @@ def _build_preconditioner(op, params):
             cycle_dtype=cycle_dtype,
         )
         if mg.n_levels > 1:
-            return mg.preconditioner_factory()
+            return (mg.stateful_factory(), mg.init_power_vectors(),
+                    mg.power_init)
         if choice == "multigrid":
             print_warning(
                 "multigrid requested but grid has no coarsenable levels; "
                 "falling back to Jacobi"
             )
     if choice == "none":
-        return lambda scale, mask: (lambda r: r)
+        return (lambda scale, mask, pvecs: ((lambda r: r), pvecs)), (), None
 
-    def jacobi_factory(scale, mask):
+    def jacobi_factory(scale, mask, pvecs):
         diag = op.diagonal(scale, mask)
-        return lambda r: r / diag
+        return (lambda r: r / diag), pvecs
 
-    return jacobi_factory
+    return jacobi_factory, (), None
 
 
 @dataclass
@@ -96,9 +103,9 @@ class VoxelStep:
     grid: VoxelGrid
     op: VoxelOperator
     filt: Any
-    step: Callable          # step(design, u_prev, *step_args)
+    step: Callable          # step(design, u_prev, pvecs, *step_args)
     metrics: Callable
-    solve: Callable         # solve(design, *step_args)
+    solve: Callable         # solve(design, pvecs, *step_args)
     design0: jax.Array
     u0: jax.Array
     step_args: tuple        # (f_ext, free_mask, vol_sens) — passed as runtime
@@ -109,6 +116,13 @@ class VoxelStep:
     total_volume: float
     dtype: Any
     use_density_filter: bool
+    # Multigrid lambda_max power-iteration state, threaded through the step
+    # (step appends the refreshed vectors as its LAST output).  pvecs0 is a
+    # valid-but-unconverged hash start; power_init(design, f_ext, free_mask)
+    # is the one-time cold estimation to run before the loop (None when the
+    # preconditioner carries no state).
+    pvecs0: tuple = ()
+    power_init: Callable | None = None
 
     # field order returned by `step`.  The convergence/diagnostic reductions
     # live in the separate `metrics` program: compiling them into the same
@@ -117,6 +131,7 @@ class VoxelStep:
     STEP_OUTPUTS = (
         "new_design", "u", "phys", "energy", "volume", "lam",
         "cg_iters", "cg_residual", "bisect_iters", "bisect_verr", "fsens",
+        "pvecs",
     )
     METRICS_OUTPUTS = (
         "change", "grayness", "max_disp",
@@ -167,9 +182,9 @@ def build_voxel_step(grid, loads, boundary_conditions,
             node_fields=(u0, free_mask, f_ext),
         )
 
-    precond_factory = _build_preconditioner(op, params)
+    precond_factory, pvecs0, mg_power_init = _build_preconditioner(op, params)
 
-    def forward(design, u_prev, f_ext, free_mask):
+    def forward(design, u_prev, pvecs, f_ext, free_mask):
         """Shared physics: filter -> loads -> solve -> energy/volume."""
         phys = filt.density_filter(design) if use_density_filter else design
         scale = op.youngs_modulus(phys)
@@ -179,16 +194,22 @@ def build_voxel_step(grid, loads, boundary_conditions,
                                      dtype)
         f_bc = f * free_mask
         A = lambda v: op.apply(v, scale, free_mask)
-        M = precond_factory(scale, free_mask)
+        M, new_pvecs = precond_factory(scale, free_mask, pvecs)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
                        rtol=params.cg_rtol, maxiter=params.cg_maxiter)
         # 0.5 u^T K u without an extra matvec: K u = f - r at the CG exit.
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys) * elem_vol
-        return phys, sol, energy, volume
+        return phys, sol, energy, volume, new_pvecs
 
-    def step(design, u_prev, f_ext, free_mask, vsens):
-        phys, sol, energy, volume = forward(design, u_prev, f_ext, free_mask)
+    def power_init(design, free_mask):
+        """One-time cold lambda_max estimation on the initial design."""
+        phys = filt.density_filter(design) if use_density_filter else design
+        return mg_power_init(op.youngs_modulus(phys), free_mask)
+
+    def step(design, u_prev, pvecs, f_ext, free_mask, vsens):
+        phys, sol, energy, volume, new_pvecs = forward(
+            design, u_prev, pvecs, f_ext, free_mask)
         u = sol.u
 
         sens = op.compliance_sensitivities(u, phys)
@@ -207,7 +228,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
             volume_weights=vsens * total_volume,
         )
         return (new_design, u, phys, energy, volume, lam, sol.iterations,
-                sol.residual_norm, bisect_iters, bisect_verr, fsens)
+                sol.residual_norm, bisect_iters, bisect_verr, fsens,
+                new_pvecs)
 
     def metrics(new_design, design, phys, u, fsens):
         """Convergence + diagnostic reductions (own program, see above)."""
@@ -218,10 +240,10 @@ def build_voxel_step(grid, loads, boundary_conditions,
         frac_neg, center, rng = sensitivity_health(fsens)
         return change, grayness, max_disp, frac_neg, center, rng
 
-    def solve_only(design, f_ext, free_mask, vsens):
+    def solve_only(design, pvecs, f_ext, free_mask, vsens):
         """Final analysis (Optimization.jl:494-539): re-filter + re-solve."""
-        phys, sol, energy, _ = forward(design, jnp.zeros_like(u0), f_ext,
-                                       free_mask)
+        phys, sol, energy, _, _ = forward(design, jnp.zeros_like(u0), pvecs,
+                                          f_ext, free_mask)
         return phys, sol.u, energy
 
     return VoxelStep(
@@ -229,7 +251,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
         solve=solve_only, design0=design0, u0=u0,
         step_args=(f_ext, free_mask, vol_sens), elem_vol=elem_vol,
         total_volume=total_volume, dtype=dtype,
-        use_density_filter=use_density_filter,
+        use_density_filter=use_density_filter, pvecs0=pvecs0,
+        power_init=power_init if mg_power_init is not None else None,
     )
 
 
@@ -280,12 +303,14 @@ def simp_optimize(grid, loads, boundary_conditions,
     op, total_volume, elem_vol = vs.op, vs.total_volume, vs.elem_vol
 
     design, u = vs.design0, vs.u0
+    pvecs = vs.pvecs0
     energy_history: list[float] = []
     volume_history: list[float] = []
     change_history: list[float] = []
     cg_history: list[int] = []
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
     start_iteration = 1
+    resumed_pvecs = False
     if resume_from:
         from .checkpoint import load_checkpoint, restore_triggered
 
@@ -299,16 +324,27 @@ def simp_optimize(grid, loads, boundary_conditions,
         cg_history = state["cg_history"]
         checkpoint_triggered = restore_triggered(
             state["checkpoint_triggered"], params.tolerance_checkpoints)
+        saved_pvecs = state.get("pvecs") or []
+        if len(saved_pvecs) == len(pvecs) and all(
+                v.shape == p.shape for v, p in zip(saved_pvecs, pvecs)):
+            pvecs = tuple(jnp.asarray(v, dtype=vs.dtype)
+                          for v in saved_pvecs)
+            resumed_pvecs = True
     if params.tolerance_checkpoints:
         print_info(
             f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
+
+    if vs.power_init is not None and not resumed_pvecs:
+        # One-time cold lambda_max estimation (full power iteration); the
+        # step then only REFRESHES the carried vectors (see ops/multigrid.py).
+        pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
 
     converged = False
     iteration = start_iteration - 1
     warned_health = False
     warned_bisection = False
 
-    def _maybe_save_checkpoint(it, design, u):
+    def _maybe_save_checkpoint(it, design, u, pvecs):
         if params.checkpoint_interval > 0 and params.checkpoint_path and \
                 it % params.checkpoint_interval == 0:
             from .checkpoint import save_checkpoint
@@ -319,6 +355,7 @@ def simp_optimize(grid, loads, boundary_conditions,
                 energy_history=energy_history, volume_history=volume_history,
                 change_history=change_history, cg_history=cg_history,
                 checkpoint_triggered=checkpoint_triggered,
+                pvecs=[np.asarray(v) for v in pvecs],
             )
 
     profile_ctx = None
@@ -330,7 +367,8 @@ def simp_optimize(grid, loads, boundary_conditions,
             profile_ctx = _profiler.trace(params.profile_dir)
             profile_ctx.__enter__()
         (new_design, u_new, phys, energy, volume, lam, cg_iters, cg_res,
-         bisect_iters, bisect_verr, fsens) = step_jit(design, u, *vs.step_args)
+         bisect_iters, bisect_verr, fsens, pvecs) = step_jit(
+            design, u, pvecs, *vs.step_args)
         (change, grayness, max_disp, frac_neg, center, rng) = metrics_jit(
             new_design, design, phys, u_new, fsens)
         u = u_new
@@ -411,7 +449,7 @@ def simp_optimize(grid, loads, boundary_conditions,
             )
 
         design = new_design
-        _maybe_save_checkpoint(it, design, u)
+        _maybe_save_checkpoint(it, design, u, pvecs)
         if change < params.tolerance:
             print_success(f"Converged after {it} iterations")
             converged = True
@@ -421,7 +459,7 @@ def simp_optimize(grid, loads, boundary_conditions,
         profile_ctx.__exit__(None, None, None)
 
     # ----- final analysis (Optimization.jl:494-539) -----------------------------
-    phys, u, final_energy = solve_jit(design, *vs.step_args)
+    phys, u, final_energy = solve_jit(design, pvecs, *vs.step_args)
     final_energy = float(final_energy)
     final_volume = float(jnp.sum(phys)) * elem_vol
 

@@ -76,11 +76,13 @@ def test_sharded_step_matches_unsharded(devices, shape):
         dtype="float64", cg_rtol=1e-11)
 
     ref = build_voxel_step(grid, [load], [bc], params)
-    ref_out = jax.jit(ref.step)(ref.design0, ref.u0, *ref.step_args)
+    ref_pv = jax.jit(ref.power_init)(ref.design0, ref.step_args[1])
+    ref_out = jax.jit(ref.step)(ref.design0, ref.u0, ref_pv, *ref.step_args)
 
     mesh = make_mesh(8, shape=shape, devices=devices)
     vs = build_voxel_step(grid, [load], [bc], params, mesh=mesh)
-    out = jax.jit(vs.step)(vs.design0, vs.u0, *vs.step_args)
+    pv = jax.jit(vs.power_init)(vs.design0, vs.step_args[1])
+    out = jax.jit(vs.step)(vs.design0, vs.u0, pv, *vs.step_args)
 
     # new_design, u, phys identical; scalars identical
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref_out[0]),
