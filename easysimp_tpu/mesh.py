@@ -34,11 +34,17 @@ HEX_FACES = ((0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
 
 @dataclass
 class UnstructuredMesh:
-    """Homogeneous tet4 or hex8 mesh with optional cellsets."""
+    """Homogeneous mesh with optional cellsets.
+
+    Volume meshes (tet4/hex8) support the full analysis pipeline; surface
+    and line meshes (tri3/quad4/line2 — the extra VTK codes the reference's
+    importer maps at MeshImport.jl:72-90) can be imported and re-exported
+    for mesh-cleaning workflows, but are rejected by `setup`.
+    """
 
     node_coords: np.ndarray                 # (n_nodes, 3) float64
-    connectivity: np.ndarray                # (n_cells, 4|8) int64, VTK order
-    cell_type: str = "tet4"                 # "tet4" | "hex8"
+    connectivity: np.ndarray                # (n_cells, k) int64, VTK order
+    cell_type: str = ""                     # tet4|hex8|tri3|quad4|line2
     cellsets: dict = dc_field(default_factory=dict)
 
     def __post_init__(self):
@@ -47,8 +53,20 @@ class UnstructuredMesh:
         self.connectivity = np.ascontiguousarray(self.connectivity,
                                                  dtype=np.int64)
         nn = self.connectivity.shape[1]
-        if nn == 4:
-            self.cell_type = "tet4"
+        # nn==4 is ambiguous (tet4 vs quad4): an explicit cell_type wins;
+        # the bare-constructor default stays tet4 (the volume type).
+        default = {2: "line2", 3: "tri3", 4: "tet4", 8: "hex8"}.get(nn)
+        valid = {2: {"line2"}, 3: {"tri3"}, 4: {"tet4", "quad4"},
+                 8: {"hex8"}}.get(nn, set())
+        if self.cell_type and self.cell_type not in valid:
+            raise ValueError(
+                f"cell_type {self.cell_type!r} inconsistent with {nn}-node "
+                f"cells")
+        if not self.cell_type:
+            if default is None:
+                raise ValueError(f"unsupported cells with {nn} nodes")
+            self.cell_type = default
+        if self.cell_type == "tet4":
             # Re-orient inverted tets (negative volume) by swapping nodes 1,2.
             J = (self.node_coords[self.connectivity[:, 1:]]
                  - self.node_coords[self.connectivity[:, :1]])
@@ -56,10 +74,10 @@ class UnstructuredMesh:
             if np.any(neg):
                 c = self.connectivity
                 c[neg, 1], c[neg, 2] = c[neg, 2].copy(), c[neg, 1].copy()
-        elif nn == 8:
-            self.cell_type = "hex8"
-        else:
-            raise ValueError(f"unsupported cells with {nn} nodes")
+
+    @property
+    def is_volume_mesh(self) -> bool:
+        return self.cell_type in ("tet4", "hex8")
 
     # ----- counts ------------------------------------------------------
     @property
@@ -146,16 +164,26 @@ class UnstructuredMesh:
 _CELLSET_KEYS = ("CellEntityIds", "element_ids", "gmsh:physical", "ElementId")
 
 
+# VTK code -> (nodes per cell, cell_type) — the same codes the reference
+# importer accepts (MeshImport.jl:72-90: tet=10, hex=12, tri=5, quad=9,
+# line=3).  Volume types win ties so a results VTU with boundary skins
+# still imports as its volume mesh.
+_VTU_CELL_TYPES = {10: (4, "tet4"), 12: (8, "hex8"), 5: (3, "tri3"),
+                   9: (4, "quad4"), 3: (2, "line2")}
+
+
 def _mesh_from_vtu(path) -> UnstructuredMesh:
-    from .post.vtu import VTK_HEXAHEDRON, VTK_TETRA, read_vtu
+    from .post.vtu import read_vtu
 
     data = read_vtu(path)
-    counts = {t: int(np.sum(data.types == t))
-              for t in (VTK_TETRA, VTK_HEXAHEDRON)}
-    dominant = max(counts, key=counts.get)
+    counts = {t: int(np.sum(data.types == t)) for t in _VTU_CELL_TYPES}
+    # sort key: count first, then volume types (tet=10/hex=12 sort above
+    # the surface/line codes at equal count)
+    dominant = max(counts, key=lambda t: (counts[t], t in (10, 12)))
     if counts[dominant] == 0:
-        raise ValueError(f"no tet4/hex8 cells found in {path}")
-    nn = 4 if dominant == VTK_TETRA else 8
+        raise ValueError(
+            f"no supported cells (tet/hex/tri/quad/line) found in {path}")
+    nn, cell_type = _VTU_CELL_TYPES[dominant]
 
     keep = data.types == dominant
     starts = np.concatenate([[0], data.offsets[:-1]])
@@ -170,7 +198,7 @@ def _mesh_from_vtu(path) -> UnstructuredMesh:
             for v in np.unique(vals):
                 cellsets[f"{key}_{int(v)}"] = np.nonzero(vals == v)[0]
     mesh = UnstructuredMesh(node_coords=data.points, connectivity=conn,
-                            cellsets=cellsets)
+                            cell_type=cell_type, cellsets=cellsets)
     print_success(
         f"Imported {path}: {mesh.n_cells} {mesh.cell_type} cells, "
         f"{mesh.n_nodes} nodes"

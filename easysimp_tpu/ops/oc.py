@@ -36,7 +36,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["oc_update", "sensitivity_health"]
+__all__ = ["oc_update", "sensitivity_health", "host_median_abs"]
 
 X_MIN = 1e-3          # density lower bound (OptimalityCriteria.jl:86)
 LAMBDA_LO = 1e-9      # bisection bounds (OptimalityCriteria.jl:89-90)
@@ -204,22 +204,41 @@ def oc_update(
 
 
 def sensitivity_health(sensitivities):
-    """Diagnostics in the spirit of `check_sensitivity_health`
-    (OptimalityCriteria.jl:19-40); returns (frac_negative, center_abs,
-    range_ratio) for the driver to warn on host-side.
+    """Device-side reductions for `check_sensitivity_health`
+    (OptimalityCriteria.jl:19-40): returns (frac_negative, mean_abs,
+    max_abs).
 
-    Deviation (documented): the reference centers its range check on the
-    MEDIAN; a median is a full 2M-element sort per SIMP iteration at 128^3.
-    Both the sort and a log/exp geometric-mean variant deterministically
-    faulted the TPU when compiled next to the fused Pallas kernel, so the
-    center here is the plain mean of |s| — cruder, but it only gates a
-    console WARNING and costs two reductions.
+    The reference centers its range check on the MEDIAN of |s|; a
+    device-side median is a full 2M-element sort per SIMP iteration at
+    128^3, and both the sort and a log/exp geometric-mean variant
+    deterministically faulted the TPU when compiled next to the fused
+    Pallas kernel.  The drivers therefore combine max_abs with a HOST-side
+    subsampled median (`host_median_abs`), computed every few iterations —
+    reference warning semantics at ~zero device cost.
     """
     flat = sensitivities.reshape(-1)
     dtype = flat.dtype
     frac_neg = jnp.mean((flat < 0).astype(dtype))
     abs_s = jnp.abs(flat)
-    center = jnp.mean(abs_s)
-    eps = jnp.finfo(dtype).eps
-    range_ratio = jnp.max(abs_s) / jnp.maximum(center, eps)
-    return frac_neg, center, range_ratio
+    return frac_neg, jnp.mean(abs_s), jnp.max(abs_s)
+
+
+# Cap on elements transferred to the host for the median subsample; the
+# strided subsample of a smooth sensitivity field is an excellent median
+# estimator (the warning gates on 8 orders of magnitude, not percent-level
+# accuracy).
+_MEDIAN_SUBSAMPLE = 65536
+
+
+def host_median_abs(sensitivities) -> float:
+    """Median of |s| from a strided subsample, computed on the host.
+
+    Used by the drivers for the reference's median-centered health warnings
+    (OptimalityCriteria.jl:26-36) without compiling a sort into the device
+    step (see `sensitivity_health` docstring)."""
+    import numpy as np
+
+    flat = sensitivities.reshape(-1)
+    stride = max(1, flat.shape[0] // _MEDIAN_SUBSAMPLE)
+    sub = np.abs(np.asarray(jax.device_get(flat[::stride])))
+    return float(np.median(sub))

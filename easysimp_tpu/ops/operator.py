@@ -100,6 +100,11 @@ class VoxelOperator:
         ops/pallas_kernels.py); apply_K routes through it."""
         self._fused_matvec = fn
 
+    def set_fused_energies(self, fn):
+        """Install a fused u_e^T ke u_e implementation (Pallas);
+        element_energies_unit routes through it."""
+        self._fused_energies = fn
+
     # ----- core stencil action --------------------------------------------
     def apply_elements(self, u):
         """Element dof products q_e = ke @ u_e, shape (nx, ny, nz, 24).
@@ -120,6 +125,7 @@ class VoxelOperator:
         return ue, q.reshape(shp)
 
     _fused_matvec = None
+    _fused_energies = None
 
     def apply_K(self, u, scale):
         """K(rho) @ u with scale = E(rho), no BC masking."""
@@ -160,6 +166,8 @@ class VoxelOperator:
 
     def element_energies_unit(self, u):
         """u_e^T ke u_e per element (unit modulus), shape (nx, ny, nz)."""
+        if self._fused_energies is not None:
+            return self._fused_energies(u)
         ue, q = self.apply_elements(u)
         return jnp.sum(ue * q, axis=-1)
 

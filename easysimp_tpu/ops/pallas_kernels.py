@@ -1,10 +1,10 @@
-"""Pallas TPU kernel: fused voxel stiffness matvec.
+"""Pallas TPU kernels: fused voxel stiffness matvec + element energies.
 
 The XLA path (ops/operator.py) materializes the gathered (N, 24) element-dof
 array, the matmul result, and eight scatter intermediates — several hundred
-MB of HBM round-trips per application at 128^3.  This kernel fuses
+MB of HBM round-trips per application at 128^3.  These kernels fuse
 gather -> ke-contraction -> SIMP scaling -> scatter into ONE pass over
-x-slabs.
+(x, y)-tiles.
 
 TPU-shape constraints drive the design:
   * VMEM arrays keep (y, z) as the tiled (sublane, lane) dims, padded to
@@ -13,16 +13,27 @@ TPU-shape constraints drive the design:
   * the +/-1 neighbor offsets in y and z CANNOT be expressed as slices
     (Mosaic requires tile-aligned minor-dim slices) — they become
     `pltpu.roll` rotates.  Circular wrap-around is harmless because the
-    SIMP modulus field is ZERO-padded: every wrapped-in product is
-    multiplied by scale == 0;
+    SIMP modulus field is ZERO-padded per tile: every wrapped-in product
+    is multiplied by scale == 0;
   * the ke contraction unrolls into scalar-coefficient FMAs on
-    (BX, NYP, NZP) vectors — pure VPU work, no layout changes (an MXU
+    (BX, BYP, NZP) vectors — pure VPU work, no layout changes (an MXU
     matmul would need a 24-minor operand, which pads 5x);
-  * each x-slab writes a DISJOINT (BX+1)-plane partial block; the one-plane
-    overlap between neighboring slabs is summed by one strided XLA add.
+  * each (x, y) element tile touches ONLY its own (BX+1, BY+1) node block
+    (no halo needed): every tile writes a disjoint partial block, and the
+    one-plane overlaps between neighboring tiles in x and in y are summed
+    by strided XLA adds afterwards.
 
-Falls back to the XLA path when nx doesn't tile (see
-`pallas_matvec_available`).
+y-blocking keeps the scoped-VMEM footprint bounded as grids grow: at 256^3
+an unblocked-y tile needs 46-89 MB; (BX=4, BY=64) fits in 25 MB.
+
+The element-energies kernel computes w_e = u_e^T ke u_e on the element grid
+(the compliance-sensitivity quadratic, SensitivityAnalysis.jl:74-78).  It is
+a SEPARATE kernel from the matvec on purpose: the matvec runs inside every
+CG iteration, the energies once per SIMP iteration — fusing them would
+compute the quadratic hundreds of times per solve.
+
+Falls back to the XLA path when no (BX, BY) tiling fits (see
+`install_fused_matvec`).
 """
 
 from __future__ import annotations
@@ -38,54 +49,88 @@ from jax.experimental.pallas import tpu as pltpu
 from .elements import HEX_CORNERS
 
 __all__ = ["pallas_matvec_available", "make_pallas_matvec",
-           "install_fused_matvec"]
+           "make_pallas_energies", "install_fused_matvec", "select_blocks"]
 
-# Engage the kernel only where its (8,128)-tile padding is amortized; on
+# Engage the kernels only where their (8,128)-tile padding is amortized; on
 # small (coarse multigrid) grids the z padding dominates and XLA wins.
 _MIN_DIM_FOR_KERNEL = 64
 
-
-def _scoped_vmem_estimate(block, nny, nnz):
-    """Empirical Mosaic scoped-stack estimate for this kernel (bytes).
-
-    Measured: 30.93MB at block=4, (NYP,NZP)=(136,256) -> ~44 equivalent
-    (BX+1, NYP, NZP) fp32 buffers live at peak."""
-    NYP = _round_up(nny, 8)
-    NZP = _round_up(nnz, 128)
-    return 44 * (block + 1) * NYP * NZP * 4
-
-
 _VMEM_BUDGET = 34 * 1024 * 1024  # margin under the 48MB scoped limit
-
-
-def install_fused_matvec(op, min_dim=_MIN_DIM_FOR_KERNEL) -> bool:
-    """Install the fused kernel on a VoxelOperator when profitable.
-
-    Returns True if installed.  Criteria: every grid dimension >= min_dim
-    (padding overhead bounded), the x extent tiles into blocks, and the
-    kernel's scoped-VMEM footprint fits (grids ~>=192 in y/z need the
-    y-blocked kernel variant — future work — and fall back to XLA).
-    """
-    nels = op.grid.nels
-    if min(nels) < min_dim:
-        return False
-    nny, nnz = nels[1] + 1, nels[2] + 1
-    for block in (4, 2):
-        if nels[0] % block == 0 and \
-                _scoped_vmem_estimate(block, nny, nnz) <= _VMEM_BUDGET:
-            op.set_fused_matvec(make_pallas_matvec(op, block=block))
-            return True
-    return False
 
 
 def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
+def _matvec_vmem_estimate(BX, BYP, NZP):
+    """Empirical Mosaic scoped-stack estimate for the matvec kernel (bytes).
+
+    Measured: 30.93MB at BX=4, (BYP,NZP)=(136,256) -> ~44 equivalent
+    (BX+1, BYP, NZP) fp32 buffers live at peak."""
+    return 44 * (BX + 1) * BYP * NZP * 4
+
+
+def select_blocks(nels, budget=_VMEM_BUDGET):
+    """Pick an (BX, BY) element tile whose kernel footprint fits `budget`.
+
+    BX must divide nx; BY must divide ny and be a multiple of 8 (aligned
+    sublane DMA starts).  Iterates largest-first so the chosen tile has the
+    smallest u over-read ((BX+1)/BX * BYP/BY).  Returns None if nothing
+    fits.
+    """
+    nx, ny, nz = nels
+    NZP = _round_up(nz + 1, 128)
+    y_candidates = [ny]
+    by = ny // 2
+    while by >= 32 and ny % by == 0 and by % 8 == 0:
+        y_candidates.append(by)
+        by //= 2
+    for BX in (4, 2):
+        if nx % BX:
+            continue
+        for BY in y_candidates:
+            if BY < ny and BY % 8:
+                continue
+            BYP = _round_up(BY + 1, 8)
+            if _matvec_vmem_estimate(BX, BYP, NZP) <= budget:
+                return BX, BY
+    return None
+
+
+def install_fused_matvec(op, min_dim=_MIN_DIM_FOR_KERNEL) -> bool:
+    """Install the fused matvec + energies kernels on a VoxelOperator when
+    profitable.
+
+    Returns True if installed.  Criteria: every grid dimension >= min_dim
+    (padding overhead bounded) and some (BX, BY) element tile fits the
+    scoped-VMEM budget (y-blocking keeps this satisfiable at 256^3+).
+    """
+    nels = op.grid.nels
+    if min(nels) < min_dim:
+        return False
+    blocks = select_blocks(nels)
+    if blocks is None:
+        return False
+    op.set_fused_matvec(make_pallas_matvec(op, block=blocks))
+    op.set_fused_energies(make_pallas_energies(op, block=blocks))
+    return True
+
+
+def _normalize_block(grid, block):
+    """Accept block as int (x-only) or (BX, BY); default BY = full ny."""
+    if isinstance(block, tuple):
+        BX, BY = block
+    else:
+        BX, BY = block, grid.nels[1]
+    return int(BX), int(BY)
+
+
 def pallas_matvec_available(grid, block=8) -> bool:
-    if isinstance(block, tuple):  # backwards compat with (BX, BY) blocks
-        block = block[0]
-    return grid.nels[0] % block == 0
+    BX, BY = _normalize_block(grid, block)
+    nx, ny, _ = grid.nels
+    if nx % BX or ny % BY:
+        return False
+    return BY == ny or BY % 8 == 0
 
 
 def _roll2(x, dy, dz):
@@ -99,30 +144,34 @@ def _roll2(x, dy, dz):
     return x
 
 
-def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, NYP, NZP):
-    """One x-slab: out[i, X, Y, Z] = sum_c E[X-dxc, Y-dyc, Z-dzc] *
+def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, BY, BYP, NZP):
+    """One (x, y) tile: out[i, X, Y, Z] = sum_c E[X-dxc, Y-dyc, Z-dzc] *
     sum_{b,j} ke[3c+i, 3b+j] * u[j, X-dxc+dxb, Y-dyc+dyb, Z-dzc+dzb].
 
-    Node-centric accumulation; element quantities live on the (BX, NYP, NZP)
-    padded element grid of this slab.
+    Node-centric accumulation; element quantities live on the (BX, BYP, NZP)
+    zero-padded element tile.  Tile-local roll wrap-around and the u rows
+    beyond BY+1 (which hold the NEXT tile's data) are all killed by the
+    zero rows/cols of the padded scale tile.
     """
     bx = pl.program_id(0)
+    by = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        u_hbm.at[:, pl.ds(bx * BX, BX + 1), :, :], u_blk, sem)
+        u_hbm.at[:, pl.ds(bx * BX, BX + 1), pl.ds(by * BY, BYP), :],
+        u_blk, sem)
     dma.start()
 
     # Two pure accumulators per component (x-corner offset dxc in {0, 1});
     # Mosaic has no in-kernel scatter-add, so dynamic-slice .at[].add on
     # VALUES is out — plain adds here, static ref stores at the end.
-    acc = [[jnp.zeros((BX, NYP, NZP), u_blk.dtype) for _ in range(2)]
+    acc = [[jnp.zeros((BX, BYP, NZP), u_blk.dtype) for _ in range(2)]
            for _ in range(3)]
     dma.wait()
 
-    scale = scale_ref[0]                               # (BX, NYP, NZP)
+    scale = scale_ref[0, 0]                            # (BX, BYP, NZP)
     # E_c = scale shifted so that index Y holds E at element (Y - dyc):
     # 4 (dyc, dzc) variants; the x shift is a free leading-dim slice.
     E = {(dy, dz): _roll2(scale, dy, dz) for dy in (0, 1) for dz in (0, 1)}
-    u = [u_blk[j] for j in range(3)]                   # (BX+1, NYP, NZP)
+    u = [u_blk[j] for j in range(3)]                   # (BX+1, BYP, NZP)
 
     # Group corner pairs by their relative (y, z) roll so each rolled
     # displacement variant is built once.
@@ -148,11 +197,30 @@ def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, NYP, NZP):
 
     # Combine the two x-offset accumulators in VALUES and store each
     # component once (no read-modify-write on the pipelined output buffer).
-    zplane = jnp.zeros((1, NYP, NZP), u_blk.dtype)
+    zplane = jnp.zeros((1, BYP, NZP), u_blk.dtype)
     for i in range(3):
         lo = jnp.concatenate([acc[i][0], zplane], axis=0)   # (BX+1, ...)
         hi = jnp.concatenate([zplane, acc[i][1]], axis=0)
-        out_ref[0, i] = lo + hi
+        out_ref[0, 0, i] = lo + hi
+
+
+def _tile_geometry(grid, block):
+    BX, BY = block
+    nx, ny, nz = grid.nels
+    if nx % BX or ny % BY:
+        raise ValueError(f"grid {grid.nels} does not tile into ({BX},{BY})")
+    if BY < ny and BY % 8:
+        raise ValueError(f"BY={BY} must be a multiple of 8 when blocking y")
+    nbx, nby = nx // BX, ny // BY
+    BYP = _round_up(BY + 1, 8)
+    NYG = (nby - 1) * BY + BYP          # u rows incl. per-tile DMA padding
+    NZP = _round_up(nz + 1, 128)
+    return nbx, nby, BYP, NYG, NZP
+
+
+def _pad_u_soa(u, nnx, NYG, NZP, nny, nnz, dtype):
+    u_soa = jnp.zeros((3, nnx, NYG, NZP), dtype)
+    return u_soa.at[:, :, :nny, :nnz].set(jnp.transpose(u, (3, 0, 1, 2)))
 
 
 def make_pallas_matvec(op, block=8, interpret=False):
@@ -162,39 +230,36 @@ def make_pallas_matvec(op, block=8, interpret=False):
     (the framework's public node layout; the SoA transposes and (8,128)
     padding happen at the boundary and fuse into neighboring XLA ops).
     """
-    if isinstance(block, tuple):
-        block = block[0]
     grid = op.grid
+    block = _normalize_block(grid, block)
+    BX, BY = block
     nx, ny, nz = grid.nels
-    BX = block
-    if not pallas_matvec_available(grid, BX):
-        raise ValueError(f"nx={nx} does not tile into blocks of {BX}")
-    nbx = nx // BX
+    nbx, nby, BYP, NYG, NZP = _tile_geometry(grid, block)
     nnx, nny, nnz = grid.nnodes_per_axis
-    NYP = _round_up(nny, 8)
-    NZP = _round_up(nnz, 128)
     dtype = op.dtype
     ke = np.asarray(op.ke, dtype=np.float64)
 
-    kernel = functools.partial(_kernel, ke=ke, BX=BX, NYP=NYP, NZP=NZP)
+    kernel = functools.partial(_kernel, ke=ke, BX=BX, BY=BY, BYP=BYP,
+                               NZP=NZP)
 
     call = pl.pallas_call(
         kernel,
-        grid=(nbx,),
+        grid=(nbx, nby),
         in_specs=[
-            pl.BlockSpec((1, BX, NYP, NZP), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, BX, BYP, NZP), lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             # u stays in HBM (the kernel DMAs halo slabs itself); ANY let the
             # compiler attempt a VMEM placement for the in-graph intermediate,
             # which faulted at 128^3.
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, 3, BX + 1, NYP, NZP),
-                               lambda i: (i, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 3, BX + 1, BYP, NZP),
+                               lambda i, j: (i, j, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbx, 3, BX + 1, NYP, NZP), dtype),
+        out_shape=jax.ShapeDtypeStruct((nbx, nby, 3, BX + 1, BYP, NZP),
+                                       dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, BX + 1, NYP, NZP), dtype),
+            pltpu.VMEM((3, BX + 1, BYP, NZP), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -207,21 +272,116 @@ def make_pallas_matvec(op, block=8, interpret=False):
 
     def matvec(u, scale):
         # public layout -> padded SoA
-        u_soa = jnp.zeros((3, nnx, NYP, NZP), dtype)
-        u_soa = u_soa.at[:, :, :nny, :nnz].set(jnp.transpose(u, (3, 0, 1, 2)))
-        scale_p = jnp.zeros((nbx, BX, NYP, NZP), dtype)
-        scale_p = scale_p.at[:, :, :ny, :nz].set(
-            scale.reshape(nbx, BX, ny, nz))
+        u_soa = _pad_u_soa(u, nnx, NYG, NZP, nny, nnz, dtype)
+        scale_p = jnp.zeros((nbx, nby, BX, BYP, NZP), dtype)
+        scale_p = scale_p.at[:, :, :, :BY, :nz].set(
+            scale.reshape(nbx, BX, nby, BY, nz).transpose(0, 2, 1, 3, 4))
 
-        partial = call(scale_p, u_soa)        # (nbx, 3, BX+1, NYP, NZP)
+        partial = call(scale_p, u_soa)   # (nbx, nby, 3, BX+1, BYP, NZP)
 
-        out = jnp.zeros((3, nnx, NYP, NZP), dtype)
-        interior = partial[:, :, :BX].transpose(1, 0, 2, 3, 4)
-        out = out.at[:, : nbx * BX].add(
-            interior.reshape(3, nbx * BX, NYP, NZP))
-        # overlap plane: block i's plane BX lands on global plane (i+1)*BX
-        edge = partial[:, :, BX].transpose(1, 0, 2, 3)
-        out = out.at[:, BX::BX].add(edge)
+        # Reassemble: interior block + one-plane overlaps in x, in y, and
+        # the (x, y) corner line, each a strided add.
+        NYO = nby * BY + 1
+        out = jnp.zeros((3, nnx, NYO, NZP), dtype)
+        ii = partial[:, :, :, :BX, :BY]
+        out = out.at[:, : nbx * BX, : nby * BY].add(
+            ii.transpose(2, 0, 3, 1, 4, 5).reshape(3, nbx * BX, nby * BY,
+                                                   NZP))
+        ei = partial[:, :, :, BX, :BY]   # x edge plane -> global (i+1)*BX
+        out = out.at[:, BX::BX, : nby * BY].add(
+            ei.transpose(2, 0, 1, 3, 4).reshape(3, nbx, nby * BY, NZP))
+        ie = partial[:, :, :, :BX, BY]   # y edge row -> global (j+1)*BY
+        out = out.at[:, : nbx * BX, BY::BY].add(
+            ie.transpose(2, 0, 3, 1, 4).reshape(3, nbx * BX, nby, NZP))
+        ee = partial[:, :, :, BX, BY]    # (x, y) corner line
+        out = out.at[:, BX::BX, BY::BY].add(ee.transpose(2, 0, 1, 3))
         return jnp.transpose(out[:, :, :nny, :nnz], (1, 2, 3, 0))
 
     return matvec
+
+
+def _energies_kernel(u_hbm, out_ref, u_blk, sem, *, ke, BX, BY, BYP, NZP):
+    """One (x, y) tile of w[X, Y, Z] = u_e^T ke u_e =
+    sum_{c,b,i,j} ke[3c+i, 3b+j] * u[i, X+dxc, Y+dyc, Z+dzc]
+                                 * u[j, X+dxb, Y+dyb, Z+dzb].
+
+    Element-centric: only forward (+0/+1) corner shifts, expressed as
+    negative rolls; ke symmetry halves the FMA count (c<=b with factor 2
+    off the block diagonal).  Rows >= BY compute garbage from roll wraps /
+    next-tile u rows and are sliced away by the caller.
+    """
+    bx = pl.program_id(0)
+    by = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(bx * BX, BX + 1), pl.ds(by * BY, BYP), :],
+        u_blk, sem)
+    dma.start()
+    acc = jnp.zeros((BX, BYP, NZP), u_blk.dtype)
+    dma.wait()
+
+    u = [u_blk[j] for j in range(3)]
+    # V[(dy, dz)][j]: row Y holds u_j[Y + dy], col Z holds col Z + dz.
+    V = {(dy, dz): [_roll2(u[j], -dy, -dz) for j in range(3)]
+         for dy in (0, 1) for dz in (0, 1)}
+
+    for c, (dxc, dyc, dzc) in enumerate(HEX_CORNERS):
+        uc = V[(dyc, dzc)]
+        for b in range(c, 8):
+            dxb, dyb, dzb = HEX_CORNERS[b]
+            ub = V[(dyb, dzb)]
+            for i in range(3):
+                for j in range(3):
+                    if b == c and j < i:
+                        continue
+                    coeff = float(ke[3 * c + i, 3 * b + j])
+                    if coeff == 0.0:
+                        continue
+                    if not (b == c and i == j):
+                        coeff = 2.0 * coeff
+                    acc = acc + coeff * (uc[i][dxc : dxc + BX]
+                                         * ub[j][dxb : dxb + BX])
+    out_ref[0, 0] = acc
+
+
+def make_pallas_energies(op, block, interpret=False):
+    """Build fn(u) -> u_e^T ke u_e per element, shape (nx, ny, nz) — the
+    fused replacement for VoxelOperator.element_energies_unit's
+    gather + (N,24)@(24,24) matmul + reduce (~19 ms of HBM traffic at
+    128^3)."""
+    grid = op.grid
+    block = _normalize_block(grid, block)
+    BX, BY = block
+    nx, ny, nz = grid.nels
+    nbx, nby, BYP, NYG, NZP = _tile_geometry(grid, block)
+    nnx, nny, nnz = grid.nnodes_per_axis
+    dtype = op.dtype
+    ke = np.asarray(op.ke, dtype=np.float64)
+
+    kernel = functools.partial(_energies_kernel, ke=ke, BX=BX, BY=BY,
+                               BYP=BYP, NZP=NZP)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nbx, nby),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, 1, BX, BYP, NZP),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbx, nby, BX, BYP, NZP), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, BX + 1, BYP, NZP), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def energies(u):
+        u_soa = _pad_u_soa(u, nnx, NYG, NZP, nny, nnz, dtype)
+        partial = call(u_soa)            # (nbx, nby, BX, BYP, NZP)
+        w = partial[:, :, :, :BY, :nz]
+        return w.transpose(0, 2, 1, 3, 4).reshape(nx, ny, nz)
+
+    return energies

@@ -32,7 +32,7 @@ from ..grids import VoxelGrid
 from ..loads import build_load_field, voxel_body_force
 from ..ops.cg import cg_solve
 from ..ops.filters import create_filter_cache
-from ..ops.oc import oc_update, sensitivity_health
+from ..ops.oc import host_median_abs, oc_update, sensitivity_health
 from ..ops.operator import VoxelOperator
 from ..params import OptimizationParameters, OptimizationResult
 from ..utils.terminal import (
@@ -49,6 +49,30 @@ def _resolve_dtype(params: OptimizationParameters):
     if params.dtype == "auto":
         return default_dtype()
     return jnp.dtype(params.dtype)
+
+
+def _warn_sensitivity_health(frac_neg, max_abs, fsens) -> bool:
+    """The reference's three health warnings (OptimalityCriteria.jl:19-40):
+    <50% negative, median effectively zero, max/median > 1e8.  The median of
+    |s| is a host-side subsampled median (see ops/oc.py).  Returns True if a
+    warning fired (the drivers warn once, not per iteration)."""
+    if frac_neg < 0.5:
+        print_warning(
+            "Less than 50% of sensitivities are negative. Check if "
+            "energy sensitivities are computed correctly."
+        )
+        return True
+    med = host_median_abs(fsens)
+    if med < np.finfo(np.float64).eps:
+        print_warning(f"Sensitivities are effectively zero (median: {med}).")
+        return True
+    if max_abs / med > 1e8:
+        print_warning(
+            f"Sensitivity range too large (max/median: {max_abs / med:.3e})."
+            " Check problem scaling."
+        )
+        return True
+    return False
 
 
 def _build_preconditioner(op, params):
@@ -135,7 +159,7 @@ class VoxelStep:
     )
     METRICS_OUTPUTS = (
         "change", "grayness", "max_disp",
-        "frac_negative_sens", "center_abs_sens", "sens_range_ratio",
+        "frac_negative_sens", "mean_abs_sens", "max_abs_sens",
     )
 
 
@@ -237,8 +261,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
         grayness = jnp.mean(
             jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype))
         max_disp = jnp.max(jnp.abs(u))
-        frac_neg, center, rng = sensitivity_health(fsens)
-        return change, grayness, max_disp, frac_neg, center, rng
+        frac_neg, mean_abs, max_abs = sensitivity_health(fsens)
+        return change, grayness, max_disp, frac_neg, mean_abs, max_abs
 
     def solve_only(design, pvecs, f_ext, free_mask, vsens):
         """Final analysis (Optimization.jl:494-539): re-filter + re-solve."""
@@ -369,8 +393,8 @@ def simp_optimize(grid, loads, boundary_conditions,
         (new_design, u_new, phys, energy, volume, lam, cg_iters, cg_res,
          bisect_iters, bisect_verr, fsens, pvecs) = step_jit(
             design, u, pvecs, *vs.step_args)
-        (change, grayness, max_disp, frac_neg, center, rng) = metrics_jit(
-            new_design, design, phys, u_new, fsens)
+        (change, grayness, max_disp, frac_neg, mean_abs, max_abs) = \
+            metrics_jit(new_design, design, phys, u_new, fsens)
         u = u_new
         if profile_ctx is not None and it >= 4:
             jax.block_until_ready(u)
@@ -389,19 +413,12 @@ def simp_optimize(grid, loads, boundary_conditions,
 
         # Sensitivity health warnings (check_sensitivity_health semantics,
         # OptimalityCriteria.jl:19-40) — warn once, not every iteration.
-        if not warned_health:
-            if float(frac_neg) < 0.5:
-                print_warning(
-                    "Less than 50% of sensitivities are negative. Check if "
-                    "energy sensitivities are computed correctly."
-                )
-                warned_health = True
-            elif float(rng) > 1e8:
-                print_warning(
-                    f"Sensitivity range too large (max/median: "
-                    f"{float(rng):.3e})."
-                )
-                warned_health = True
+        # The range check is median-centered like the reference: the median
+        # comes from a host-side subsample every few iterations (device-side
+        # sorts fault the TPU next to the fused kernel, see ops/oc.py).
+        if not warned_health and (it == start_iteration or it % 10 == 0):
+            warned_health = _warn_sensitivity_health(
+                float(frac_neg), float(max_abs), fsens)
 
         # OC bisection non-convergence warning (OptimalityCriteria.jl:139-142).
         # Warned once, not per iteration: in fp32 at multi-million-cell grids

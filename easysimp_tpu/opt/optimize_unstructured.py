@@ -62,6 +62,11 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
                             acceleration_data=None) -> UnstructuredStep:
     dtype = _resolve_dtype(params)
 
+    if not getattr(mesh, "is_volume_mesh", True):
+        raise ValueError(
+            f"SIMP optimization needs a volume mesh (tet4/hex8); got "
+            f"{mesh.cell_type} cells")
+
     coords = mesh.node_coords[mesh.connectivity]       # (E, nn, 3)
     ke_unit, vols = element_stiffness_batch_np(coords, E=1.0, nu=params.nu)
     op = UnstructuredOperator(
@@ -145,10 +150,10 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         grayness = jnp.mean(
             jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype))
         max_disp = jnp.max(jnp.abs(u))
-        frac_neg, med, rng = sensitivity_health(fsens)
+        frac_neg, mean_abs, max_abs = sensitivity_health(fsens)
         return (new_design, u, phys, energy, volume, change, lam, grayness,
                 max_disp, sol.iterations, sol.residual_norm, bisect_iters,
-                bisect_verr, frac_neg, med, rng)
+                bisect_verr, frac_neg, max_abs, fsens)
 
     def solve_only(design):
         phys, sol, energy, _ = forward(design, jnp.zeros_like(u0))
@@ -220,8 +225,8 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     for it in range(start_iteration, params.max_iterations + 1):
         iteration = it
         (new_design, u, phys, energy, volume, change, lam, grayness,
-         max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg, _,
-         rng) = step_jit(design, u)
+         max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg, max_abs,
+         fsens) = step_jit(design, u)
 
         energy, volume, change = float(energy), float(volume), float(change)
         vol_frac = volume / total_volume
@@ -230,17 +235,13 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
         change_history.append(change)
         cg_history.append(int(cg_iters))
 
-        if not warned_health:
-            if float(frac_neg) < 0.5:
-                print_warning(
-                    "Less than 50% of sensitivities are negative. Check if "
-                    "energy sensitivities are computed correctly.")
-                warned_health = True
-            elif float(rng) > 1e8:
-                print_warning(
-                    f"Sensitivity range too large (max/median: "
-                    f"{float(rng):.3e}).")
-                warned_health = True
+        # Median-centered health warnings (OptimalityCriteria.jl:19-40);
+        # the median is a host-side subsample (see ops/oc.py).
+        if not warned_health and (it == start_iteration or it % 10 == 0):
+            from .optimize import _warn_sensitivity_health
+
+            warned_health = _warn_sensitivity_health(
+                float(frac_neg), float(max_abs), fsens)
 
         # OC bisection non-convergence warning (OptimalityCriteria.jl:139-142)
         if not warned_bisection and abs(float(bisect_verr)) >= 1e-6:

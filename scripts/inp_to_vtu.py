@@ -27,16 +27,26 @@ from easysimp_tpu.utils.terminal import print_data, print_success, \
 
 __all__ = ["convert_inp_to_vtu", "parse_inp"]
 
-# Abaqus element type -> (VTK cell code, nodes per element)
+# Abaqus element type -> (VTK cell code, nodes per element).  Full parity
+# with the reference catalogue (scripts/InpToVtu.jl:43-55): volume
+# Hex8/Tet4/Hex20/Tet10/Wedge6/Wedge15, shells Tri3/Quad4/Tri6/Quad8, and
+# trusses Seg2/Seg3.  Abaqus node orderings for all of these coincide with
+# the VTK orderings (corners first, then mid-edge nodes in the same
+# sequence; for C3D15: bottom-edge, top-edge, then vertical mid-nodes —
+# identical to VTK_QUADRATIC_WEDGE).
 ELEMENT_TYPES = {
     "C3D8": (12, 8), "C3D8R": (12, 8), "C3D8I": (12, 8),
     "C3D4": (10, 4),
     "C3D20": (25, 20), "C3D20R": (25, 20),
     "C3D10": (24, 10),
     "C3D6": (13, 6),
+    "C3D15": (26, 15),
     "S3": (5, 3), "STRI3": (5, 3), "CPS3": (5, 3),
     "S4": (9, 4), "S4R": (9, 4), "CPS4": (9, 4),
+    "S6": (22, 6), "STRI65": (22, 6),
+    "S8": (23, 8), "S8R": (23, 8),
     "T3D2": (3, 2),
+    "T3D3": (21, 3),
 }
 
 

@@ -104,6 +104,23 @@ def element_volume(coords):
     return v
 
 
+def shape_value_integrals(coords):
+    """integral(N_a dOmega) per node — the body-force weights
+    (FiniteElementAnalysis.jl:486-526).  Linear tet: V/4 per node."""
+    n = coords.shape[0]
+    if n == 4:
+        return np.full(4, tet_shape_gradients(coords)[1] / 4.0)
+    out = np.zeros(8)
+    s = HEX_SIGNS
+    for gz in GAUSS_1D:
+        for gy in GAUSS_1D:
+            for gx in GAUSS_1D:
+                N = 0.125 * (1 + s[:, 0] * gx) * (1 + s[:, 1] * gy) \
+                    * (1 + s[:, 2] * gz)
+                out += N * hex_shape_gradients(coords, (gx, gy, gz))[1]
+    return out
+
+
 class ReferenceProblem:
     """Sparse-assembled FE problem with per-element unit ke cache."""
 
@@ -244,13 +261,34 @@ def oc_update_reference(densities, sens, vol_sens, target_vf, total_volume,
 def simp_optimize_reference(points, conn, fixed_dofs, f_ext, *, E0, Emin, nu,
                             p, volume_fraction, max_iterations, tolerance,
                             filter_radius_ratio, filter_type="sensitivity",
-                            move=0.2, damping=0.5, char_size=None):
+                            move=0.2, damping=0.5, char_size=None,
+                            body_force=None):
     """Full reference SIMP loop (Optimization.jl:178-565 semantics).
+
+    body_force: optional (accel_vec, base_density) — per-iteration
+    variable-density volume force f_a += rho_e * base_density *
+    integral(N_a) * accel with the rho < 1e-6 skip
+    (FiniteElementAnalysis.jl:486-526, driven at Optimization.jl:301-311).
 
     Returns dict with per-iteration energy/volume/change histories, the
     density history, and the final state.
     """
     prob = ReferenceProblem(points, conn, E0, Emin, nu, p)
+
+    if body_force is not None:
+        accel = np.asarray(body_force[0], dtype=np.float64)
+        base_density = float(body_force[1])
+        shape_ints = np.stack(
+            [shape_value_integrals(np.asarray(points)[c]) for c in conn])
+
+        def apply_body_force(f, phys):
+            f = f.copy()
+            w = np.where(phys < 1e-6, 0.0, phys) * base_density
+            fe = (w[:, None] * shape_ints)[:, :, None] * accel  # (E, nn, 3)
+            np.add.at(f, prob.dofmap, fe.reshape(fe.shape[0], -1))
+            return f
+    else:
+        apply_body_force = lambda f, phys: f
     centers = np.stack([points[c].mean(axis=0) for c in conn])
     if char_size is None:
         # average size of first 10 cells; hex = geometric mean of 3 edges,
@@ -284,7 +322,8 @@ def simp_optimize_reference(points, conn, fixed_dofs, f_ext, *, E0, Emin, nu,
 
     for it in range(1, max_iterations + 1):
         phys = filt.density_filter(rho) if use_density else rho
-        u, energy = prob.solve(phys, f_ext, fixed_dofs)
+        u, energy = prob.solve(phys, apply_body_force(f_ext, phys),
+                               fixed_dofs)
         energies.append(energy)
         volumes.append(float(np.dot(phys, prob.volumes)))
 
@@ -308,7 +347,8 @@ def simp_optimize_reference(points, conn, fixed_dofs, f_ext, *, E0, Emin, nu,
             break
 
     phys = filt.density_filter(rho) if use_density else rho
-    u, final_energy = prob.solve(phys, f_ext, fixed_dofs)
+    u, final_energy = prob.solve(phys, apply_body_force(f_ext, phys),
+                                 fixed_dofs)
     return {
         "energies": energies,
         "volumes": volumes,

@@ -74,3 +74,39 @@ def test_continuation_lines(tmp_path):
     points, blocks, _ = parse_inp(str(inp))
     assert blocks[0]["conn"].shape == (1, 20)
     assert blocks[0]["vtk_type"] == 25
+
+
+QUADRATIC_INP = """** quadratic / truss catalogue (reference InpToVtu.jl:43-55)
+*NODE
+""" + "\n".join(
+    f"{i}, {float(i)}, {float(i % 3)}, {float(i % 5)}" for i in range(1, 16)
+) + """
+*ELEMENT, TYPE=C3D15
+1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15
+*ELEMENT, TYPE=S6
+2, 1, 2, 3, 7, 8, 9
+*ELEMENT, TYPE=S8R
+3, 1, 2, 3, 4, 7, 8, 9, 10
+*ELEMENT, TYPE=T3D3
+4, 1, 2, 7
+"""
+
+
+def test_quadratic_element_catalogue(tmp_path):
+    """C3D15/S6/S8/T3D3 map to VTK 26/22/23/21 (InpToVtu.jl:43-55)."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from inp_to_vtu import convert_inp_to_vtu, parse_inp
+
+    inp = tmp_path / "quad.inp"
+    inp.write_text(QUADRATIC_INP)
+    points, blocks, _ = parse_inp(str(inp))
+    assert [(b["abq"], b["vtk_type"], b["nn"]) for b in blocks] == [
+        ("C3D15", 26, 15), ("S6", 22, 6), ("S8R", 23, 8), ("T3D3", 21, 3)]
+
+    out = convert_inp_to_vtu(str(inp))
+    data = read_vtu(out)
+    assert list(data.types) == [26, 22, 23, 21]
+    np.testing.assert_array_equal(data.offsets, [15, 21, 29, 32])
+    # Abaqus ordering passes through 1:1 (0-based)
+    np.testing.assert_array_equal(data.connectivity[:15], np.arange(15))

@@ -75,3 +75,65 @@ def test_tolerance_study_harness(tmp_path):
     assert (tmp_path / "t_batch_summary.txt").exists()
     # per-run exports
     assert (tmp_path / "t_08tol" / "optimization_progress.csv").exists()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="no reference data")
+def test_gripper_trajectory_parity():
+    """End-to-end gripper on the real stul14.vtu mesh (16490 hex8, 61626
+    dofs): multi-load + circular fixed support + X-symmetry sliding plane +
+    body force TOGETHER (the reference's 04_gripper_complex.jl composition),
+    5 SIMP iterations, compliance parity vs the scipy direct-solve
+    reference."""
+    import easysimp_tpu as et
+    from easysimp_tpu.models import gripper
+    from reference_impl import simp_optimize_reference
+
+    mesh, loads, bcs, params, accel = gripper.build(
+        max_iterations=5, dtype="float64", cg_rtol=1e-12)
+    res = et.simp_optimize(mesh, loads, bcs, params, accel)
+
+    f = et.build_load_field(mesh, loads).reshape(-1)
+    mask = et.build_free_mask(mesh, bcs)
+    fixed_dofs = np.nonzero(mask == 0)[0]
+    # sliding symmetry contributes x-component dofs only
+    assert np.any(fixed_dofs % 3 == 0)
+    ref = simp_optimize_reference(
+        mesh.node_coords, mesh.connectivity, fixed_dofs, f,
+        E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
+        volume_fraction=params.volume_fraction, max_iterations=5,
+        tolerance=params.tolerance, filter_radius_ratio=params.filter_radius,
+        filter_type=params.filter_type, body_force=accel)
+    np.testing.assert_allclose(res.energy_history, ref["energies"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(res.densities, ref["final_densities"],
+                               atol=5e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="no reference data")
+def test_wheel_trajectory_parity():
+    """End-to-end wheel on the real Wheel_3d_coarse.msh (36552 tet4):
+    surface traction (rim torque) + fixed hub + gravity body force,
+    5 SIMP iterations, compliance parity vs the direct-solve reference."""
+    import easysimp_tpu as et
+    from easysimp_tpu.models import wheel
+    from reference_impl import simp_optimize_reference
+
+    mesh, loads, bcs, params, accel = wheel.build(
+        max_iterations=5, dtype="float64", cg_rtol=1e-12)
+    res = et.simp_optimize(mesh, loads, bcs, params, accel)
+
+    f = et.build_load_field(mesh, loads).reshape(-1)
+    assert np.any(f != 0.0)  # the traction actually integrated
+    fixed_dofs = np.nonzero(et.build_free_mask(mesh, bcs) == 0)[0]
+    ref = simp_optimize_reference(
+        mesh.node_coords, mesh.connectivity, fixed_dofs, f,
+        E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
+        volume_fraction=params.volume_fraction, max_iterations=5,
+        tolerance=params.tolerance, filter_radius_ratio=params.filter_radius,
+        filter_type=params.filter_type, body_force=accel)
+    np.testing.assert_allclose(res.energy_history, ref["energies"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(res.densities, ref["final_densities"],
+                               atol=5e-5)

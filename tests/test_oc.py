@@ -132,8 +132,32 @@ class TestOCUpdate:
 
 
 def test_sensitivity_health():
-    sens = jnp.asarray(-np.abs(np.random.default_rng(1).standard_normal(100)))
-    frac_neg, med, rng_ratio = sensitivity_health(sens)
+    vals = -np.abs(np.random.default_rng(1).standard_normal(100))
+    sens = jnp.asarray(vals)
+    frac_neg, mean_abs, max_abs = sensitivity_health(sens)
     assert float(frac_neg) == 1.0
-    assert float(med) > 0
-    assert float(rng_ratio) >= 1.0
+    np.testing.assert_allclose(float(mean_abs), np.abs(vals).mean(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(max_abs), np.abs(vals).max(), rtol=1e-6)
+
+
+def test_host_median_abs():
+    from easysimp_tpu.ops.oc import host_median_abs
+
+    vals = np.random.default_rng(2).standard_normal(10_000)
+    med = host_median_abs(jnp.asarray(vals))
+    # full-array median (size below the subsample cap -> stride 1, exact)
+    np.testing.assert_allclose(med, np.median(np.abs(vals)), rtol=1e-6)
+
+
+def test_warn_sensitivity_health_median_semantics(capsys):
+    """max/median > 1e8 warns (OptimalityCriteria.jl:33-36) even when
+    max/mean stays small — the median-centered check the mean cannot mimic."""
+    from easysimp_tpu.opt.optimize import _warn_sensitivity_health
+
+    # half the entries huge, half tiny: median tiny, mean huge
+    sens = np.full(1000, -1e-6)
+    sens[:499] = -1e4
+    fired = _warn_sensitivity_health(1.0, 1e4, jnp.asarray(sens))
+    assert fired
+    assert "max/median" in capsys.readouterr().out

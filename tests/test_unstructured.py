@@ -64,6 +64,46 @@ class TestImport:
                                 connectivity=np.array([[0, 2, 1, 3]]))
         assert mesh.element_volumes[0] > 0
 
+    @pytest.mark.parametrize("vtk_code,nn,ctype", [
+        (5, 3, "tri3"), (9, 4, "quad4"), (3, 2, "line2")])
+    def test_vtu_surface_and_line_cells(self, tmp_path, vtk_code, nn, ctype):
+        """Surface/line VTUs import as their dominant type — the extra VTK
+        codes the reference maps (MeshImport.jl:72-90) — and re-export, but
+        are rejected by the SIMP driver (volume meshes only)."""
+        from easysimp_tpu.post.vtu import write_vtu
+
+        pts = np.array([[0.0, 0, 0], [1.0, 0, 0], [1.0, 1, 0], [0.0, 1, 0],
+                        [2.0, 0, 0], [2.0, 1, 0]])
+        conn = np.array([list(range(nn)), list(range(1, nn + 1))])
+        path = write_vtu(str(tmp_path / "s.vtu"), pts, conn, vtk_code)
+        mesh = import_mesh(path)
+        assert mesh.cell_type == ctype
+        assert not mesh.is_volume_mesh
+        np.testing.assert_array_equal(mesh.connectivity, conn)
+        # re-export round-trip (mesh-cleaning workflow)
+        out = write_vtu(str(tmp_path / "round.vtu"), mesh.node_coords,
+                        mesh.connectivity, vtk_code)
+        back = import_mesh(out)
+        np.testing.assert_array_equal(back.connectivity, conn)
+        # SIMP rejects non-volume meshes with a clear error
+        from easysimp_tpu.opt.optimize_unstructured import \
+            build_unstructured_step
+        with pytest.raises(ValueError, match="volume mesh"):
+            build_unstructured_step(mesh, [], [], et.OptimizationParameters())
+
+    def test_vtu_mixed_volume_dominant(self, tmp_path):
+        """A results VTU with boundary skins still imports the volume part
+        when counts tie (volume types win)."""
+        from easysimp_tpu.post.vtu import write_vtu
+
+        m = tet_mesh_from_voxels((2, 1, 1))
+        tris = m.connectivity[:4, :3]
+        path = write_vtu(str(tmp_path / "mix.vtu"), m.node_coords,
+                         [(5, tris), (10, m.connectivity[:4])], None)
+        mesh = import_mesh(path)
+        assert mesh.cell_type == "tet4"
+        assert mesh.n_cells == 4
+
 
 class TestUnstructuredTrajectory:
     @pytest.mark.parametrize("filter_type", ["sensitivity", "density"])
