@@ -27,6 +27,61 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _time_ms(fn, *args, reps=10):
+    """Median-free mean wall time of a compiled callable, in ms."""
+    import time as _t
+
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = _t.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (_t.time() - t0) / reps * 1e3
+
+
+def _phase_breakdown(vs, design, u, pvecs):
+    """Per-phase ms timings of the SIMP iteration's components (stderr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from easysimp_tpu.ops.oc import oc_update
+
+    op, filt = vs.op, vs.filt
+    f_ext, free_mask, vsens = vs.step_args
+    phys = filt.density_filter(design) if vs.use_density_filter else design
+    scale = jax.jit(op.youngs_modulus)(phys)
+    rows = []
+    rows.append(("matvec (K@u)", _time_ms(
+        jax.jit(op.apply_K), u, scale, reps=20)))
+    rows.append(("element energies", _time_ms(
+        jax.jit(op.element_energies_unit), u)))
+    sens = jax.jit(op.compliance_sensitivities)(u, phys)
+    if vs.use_density_filter:
+        rows.append(("filter chain rule", _time_ms(
+            jax.jit(filt.chain_rule), sens)))
+    else:
+        rows.append(("sensitivity filter", _time_ms(
+            jax.jit(filt.sensitivity_filter), design, sens)))
+    vf = 0.3
+
+    def oc_only(d, s):
+        return oc_update(d, s, vsens, vf, vs.total_volume, vs.elem_vol,
+                         0.2, 0.5, volume_weights=vsens * vs.total_volume)
+
+    rows.append(("OC bisection", _time_ms(jax.jit(oc_only), design, sens,
+                                          reps=5)))
+    rows.append(("full solve (CG)", _time_ms(
+        jax.jit(vs.solve), design, pvecs, *vs.step_args, reps=2)))
+    rows.append(("full step", _time_ms(
+        jax.jit(vs.step), design, u, pvecs, *vs.step_args, reps=5)))
+    log("--- phase breakdown (ms) ---")
+    for name, ms in rows:
+        log(f"  {name:>20s}: {ms:8.2f}")
+
+
 def run_measurement():
     """Child-process entry: one full measurement, JSON on stdout."""
     nels = tuple(int(v) for v in
@@ -34,6 +89,7 @@ def run_measurement():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     n_timed = int(os.environ.get("BENCH_ITERS", "10"))
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
+    with_phases = os.environ.get("BENCH_PHASES", "0") == "1"
 
     import jax
 
@@ -87,6 +143,8 @@ def run_measurement():
     iters_per_sec = n_timed / elapsed
     log(f"{n_timed} SIMP iters in {elapsed:.2f}s -> {iters_per_sec:.2f} it/s;"
         f" last solve: {int(outs[6])} CG iters; energy {float(outs[3]):.6e}")
+    if with_phases:
+        _phase_breakdown(vs, design, u, pvecs)
     print(json.dumps({
         "metric": f"simp_iterations_per_sec_{nx}x{ny}x{nz}",
         "value": round(iters_per_sec, 3),

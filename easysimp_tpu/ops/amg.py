@@ -1,0 +1,227 @@
+"""Two-level aggregation AMG for the unstructured (imported-mesh) path.
+
+Replaces plain (block-)Jacobi CG as the unstructured preconditioner — the
+last place where the reference's CHOLMOD direct solve
+(src/Optimization/Optimization.jl:317) beat the matrix-free rebuild on CG
+iteration counts at SIMP contrast (E_max/E_min ~ 1e9).
+
+TPU-first split, mirroring the voxel multigrid (ops/multigrid.py):
+
+  * HOST, once per problem: aggregate the node graph (greedy root-node
+    clustering), build the per-node rigid-body-mode prolongator blocks
+    (3 x 6, translations + rotations about the aggregate centroid,
+    BC-masked, SVD-orthonormalized per aggregate), and precompute each
+    element's coarse Galerkin contribution G_e = P_e^T ke_unit P_e.
+  * DEVICE, once per SIMP iteration (densities change): assemble the
+    coarse operator A_c = sum_e E(rho_e) G_e with one scatter-add —
+    exact Galerkin because P is fixed and A is linear in the per-element
+    moduli — then Cholesky-factor it (dense; coarse dim ~ 6 * n_nodes /
+    avg_degree, a few thousand) and power-estimate the damped-Jacobi
+    smoother weight.
+  * DEVICE, per CG iteration: symmetric two-level V-cycle
+    pre-smooth -> coarse correct -> post-smooth (SPD by construction,
+    safe inside CG).
+
+Scaling note: the coarse level is solved densely, which caps this design
+near ~1e5 fine nodes; recursing the aggregation (true multilevel) is the
+extension point if far larger imported meshes show up.  The reference's
+workloads (gripper 20542 nodes, wheel 7974) sit comfortably inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+__all__ = ["greedy_aggregate", "rigid_body_prolongator", "TwoLevelAMG"]
+
+
+def _node_adjacency(connectivity, n_nodes):
+    """Symmetric node-node adjacency (CSR) from element connectivity."""
+    conn = np.asarray(connectivity)
+    nn = conn.shape[1]
+    rows, cols = [], []
+    for a in range(nn):
+        for b in range(nn):
+            if a != b:
+                rows.append(conn[:, a])
+                cols.append(conn[:, b])
+    data = np.ones(len(rows) * conn.shape[0], dtype=np.int8)
+    A = sp.coo_matrix(
+        (data, (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n_nodes, n_nodes)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def greedy_aggregate(connectivity, n_nodes):
+    """Root-node aggregation of the mesh node graph.
+
+    Pass 1 seeds aggregates at nodes whose whole neighborhood is free and
+    absorbs the neighborhood; pass 2 attaches remaining nodes to the
+    aggregate most common among their neighbors; pass 3 makes singleton
+    aggregates of anything isolated.  Returns (agg_index (n_nodes,) int32,
+    n_aggregates).
+    """
+    A = _node_adjacency(connectivity, n_nodes)
+    indptr, indices = A.indptr, A.indices
+    agg = np.full(n_nodes, -1, dtype=np.int64)
+    n_agg = 0
+    for v in range(n_nodes):
+        if agg[v] != -1:
+            continue
+        nbrs = indices[indptr[v]:indptr[v + 1]]
+        if np.all(agg[nbrs] == -1):
+            agg[v] = n_agg
+            agg[nbrs] = n_agg
+            n_agg += 1
+    for v in range(n_nodes):
+        if agg[v] != -1:
+            continue
+        nbrs = indices[indptr[v]:indptr[v + 1]]
+        owners = agg[nbrs]
+        owners = owners[owners >= 0]
+        if owners.size:
+            agg[v] = np.bincount(owners).argmax()
+        else:
+            agg[v] = n_agg
+            n_agg += 1
+    return agg.astype(np.int32), n_agg
+
+
+def rigid_body_prolongator(coords, agg, n_agg, free_mask):
+    """Per-node (3, 6) prolongator blocks spanning the BC-masked rigid body
+    modes of each aggregate.
+
+    Columns are the aggregate's 6 RBMs (3 translations + 3 rotations about
+    its centroid), rows masked by the Dirichlet mask BEFORE the per-
+    aggregate SVD orthonormalization, so constrained dofs drop out of the
+    coarse basis instead of wasting columns.  Rank-deficient aggregates
+    (few free dofs) get zero columns; the coarse assembly regularizes the
+    matching diagonal entries.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n_nodes = coords.shape[0]
+    mask = np.asarray(free_mask, dtype=np.float64).reshape(n_nodes, 3)
+    P = np.zeros((n_nodes, 3, 6))
+    order = np.argsort(agg, kind="stable")
+    bounds = np.searchsorted(agg[order], np.arange(n_agg + 1))
+    for a in range(n_agg):
+        nodes = order[bounds[a]:bounds[a + 1]]
+        if nodes.size == 0:
+            continue
+        x = coords[nodes] - coords[nodes].mean(axis=0)
+        m = nodes.size
+        B = np.zeros((m, 3, 6))
+        B[:, :, :3] = np.eye(3)
+        # rotations: r = omega x (x - centroid)
+        B[:, 0, 4], B[:, 0, 5] = x[:, 2], -x[:, 1]
+        B[:, 1, 3], B[:, 1, 5] = -x[:, 2], x[:, 0]
+        B[:, 2, 3], B[:, 2, 4] = x[:, 1], -x[:, 0]
+        B *= mask[nodes][:, :, None]
+        U, s, _ = np.linalg.svd(B.reshape(3 * m, 6), full_matrices=False)
+        keep = s > max(1e-10, 1e-8 * (s[0] if s.size else 0.0))
+        Q = U[:, : keep.sum()]
+        P[nodes, :, : Q.shape[1]] = Q.reshape(m, 3, -1)
+    # SVD leaves O(eps) residue in masked rows — re-mask so constrained
+    # dofs are EXACTLY outside the coarse space.
+    P *= mask[:, :, None]
+    return P
+
+
+class TwoLevelAMG:
+    """Two-level RBM-aggregation preconditioner for UnstructuredOperator.
+
+    Host-side constants are built in __init__; `setup(scale, free_mask,
+    Binv)` runs once per SIMP iteration (returns the coarse Cholesky factor
+    and smoother weight), `apply(...)` is the per-CG-iteration V-cycle.
+    """
+
+    def __init__(self, op, mesh, free_mask, power_iters=8):
+        self.op = op
+        self.power_iters = int(power_iters)
+        conn = np.asarray(mesh.connectivity)
+        n_nodes = mesh.n_nodes
+        agg, n_agg = greedy_aggregate(conn, n_nodes)
+        Pn = rigid_body_prolongator(mesh.node_coords, agg, n_agg, free_mask)
+        self.n_agg = n_agg
+        self.nc = 6 * n_agg
+
+        # Per-element coarse Galerkin blocks G_e = P_e^T ke_unit P_e with
+        # P_e the block-diagonal stack of the element nodes' (3, 6) blocks.
+        # Duplicate aggregates among an element's nodes need no dedup — the
+        # scatter-add accumulates them correctly.
+        ke = np.asarray(op.ke, dtype=np.float64)          # (E, 3nn, 3nn)
+        nn = conn.shape[1]
+        Pe = Pn[conn]                                     # (E, nn, 3, 6)
+        keb = ke.reshape(-1, nn, 3, nn, 3)
+        # G[e, a, i, b, j] = sum_{c,d} Pe[e,a,c,i] ke[e,a,c,b,d] Pe[e,b,d,j]
+        G = np.einsum("eaci,eacbd,ebdj->eaibj", Pe, keb, Pe, optimize=True)
+        self.Ge = jnp.asarray(G.transpose(0, 1, 3, 2, 4),  # (E,nn,nn,6,6)
+                              dtype=op.dtype)
+        self.elem_agg = jnp.asarray(agg[conn].astype(np.int32))  # (E, nn)
+        self.Pn = jnp.asarray(Pn, dtype=op.dtype)         # (n, 3, 6)
+        self.agg_idx = jnp.asarray(agg)                   # (n,)
+        self.n_nodes = n_nodes
+
+    # ----- transfer operators (device) ------------------------------------
+    def restrict(self, r):
+        """P^T r: (3n,) -> (nc,)."""
+        rn = r.reshape(self.n_nodes, 3)
+        contrib = jnp.einsum("nik,ni->nk", self.Pn, rn)   # (n, 6)
+        rc = jnp.zeros((self.n_agg, 6), dtype=r.dtype)
+        return rc.at[self.agg_idx].add(contrib).reshape(-1)
+
+    def prolong(self, zc):
+        """P zc: (nc,) -> (3n,)."""
+        za = zc.reshape(self.n_agg, 6)[self.agg_idx]      # (n, 6)
+        return jnp.einsum("nik,nk->ni", self.Pn, za).reshape(-1)
+
+    # ----- per-SIMP-iteration setup (device, jit-safe) ---------------------
+    def coarse_matrix(self, scale):
+        """A_c = sum_e E_e G_e, assembled with one scatter-add; zero
+        (rank-deficient) coarse diagonal entries are regularized to 1."""
+        E = scale.astype(self.Ge.dtype)
+        vals = E[:, None, None, None, None] * self.Ge     # (E,nn,nn,6,6)
+        ix = self.elem_agg
+        Ac = jnp.zeros((self.n_agg, 6, self.n_agg, 6), dtype=self.Ge.dtype)
+        Ac = Ac.at[ix[:, :, None], :, ix[:, None, :], :].add(vals)
+        Ac = Ac.reshape(self.nc, self.nc)
+        d = jnp.diagonal(Ac)
+        fix = (d <= 1e-30).astype(Ac.dtype)
+        return Ac + jnp.diag(fix)
+
+    def setup(self, scale, free_mask, Binv, A):
+        """Once per SIMP iteration: coarse Cholesky factor + smoother weight.
+
+        omega = 1 / lambda_max(Binv A) from a few power iterations (the
+        damped block-Jacobi smoother must underdamp the high end to be a
+        convergent smoother / keep the V-cycle SPD).
+        """
+        L = jax.scipy.linalg.cholesky(self.coarse_matrix(scale), lower=True)
+
+        def body(k, v):
+            w = self.op.apply_block_jacobi(Binv, A(v))
+            return w / jnp.linalg.norm(w)
+
+        n = free_mask.shape[0] if free_mask.ndim == 1 else 3 * self.n_nodes
+        v0 = free_mask.reshape(-1)
+        v0 = v0 / jnp.linalg.norm(v0)
+        v = jax.lax.fori_loop(0, self.power_iters, body, v0)
+        w = self.op.apply_block_jacobi(Binv, A(v))
+        lam_max = jnp.vdot(v, w) / jnp.vdot(v, v)
+        omega = 1.0 / (1.1 * lam_max)
+        return L, omega
+
+    # ----- per-CG-iteration V-cycle (device) -------------------------------
+    def apply(self, r, A, Binv, L, omega, free_mask):
+        """Symmetric two-level cycle: damped-block-Jacobi pre-smooth,
+        coarse RBM correction, matching post-smooth."""
+        z = omega * self.op.apply_block_jacobi(Binv, r)
+        rc = self.restrict((r - A(z)) * free_mask)
+        zc = jax.scipy.linalg.cho_solve((L, True), rc)
+        z = z + self.prolong(zc) * free_mask
+        z = z + omega * self.op.apply_block_jacobi(Binv, r - A(z))
+        return z

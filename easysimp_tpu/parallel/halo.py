@@ -26,6 +26,15 @@ The matvec computes per-slab element contributions (all elements whose cells
 live on the device, using the overlapped node plane) and then accumulates the
 boundary-plane contributions that neighboring devices computed for shared
 nodes via one ppermute per direction.
+
+STATUS — reference scaffolding, not wired into the driver.  The production
+path is GSPMD (sharding.py): on the virtual-device mesh both compile to the
+same collective pattern (one collective-permute pair per axis per matvec —
+asserted for GSPMD in tests/test_sharding.py), and GSPMD additionally
+partitions the filters, reductions, and multigrid transfers with zero extra
+code.  This module is kept as the hand-scheduled baseline to benchmark
+GSPMD's halo exchanges against when real multi-chip hardware is available;
+if it wins there, wire it in via VoxelOperator.set_fused_matvec.
 """
 
 from __future__ import annotations

@@ -51,7 +51,7 @@ class OptimizationParameters:
     dtype: str = "auto"                 # "auto" | "float32" | "float64"
     cg_rtol: float = 1e-8               # relative residual for the CG solve
     cg_maxiter: int = 20000
-    preconditioner: str = "auto"        # "auto" | "jacobi" | "multigrid"
+    preconditioner: str = "auto"        # auto|jacobi|block_jacobi|amg|multigrid|none
     mg_levels: int = 0                  # 0 = auto depth
     mg_smooth_iters: int = 1            # Chebyshev degree / Jacobi sweeps
     mg_cycle_dtype: str = ""            # "" = operator dtype; "bfloat16" runs
@@ -73,7 +73,8 @@ class OptimizationParameters:
                 f"filter_type must be 'sensitivity' or 'density', got "
                 f"{self.filter_type!r}"
             )
-        if self.preconditioner not in ("auto", "jacobi", "multigrid", "none"):
+        if self.preconditioner not in ("auto", "jacobi", "block_jacobi",
+                                       "amg", "multigrid", "none"):
             raise ValueError(f"unknown preconditioner {self.preconditioner!r}")
 
 
