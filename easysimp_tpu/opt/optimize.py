@@ -303,7 +303,7 @@ def simp_optimize(grid, loads, boundary_conditions,
 
         return simp_optimize_unstructured(
             grid, loads, boundary_conditions, params, acceleration_data,
-            resume_from=resume_from,
+            resume_from=resume_from, device_mesh=mesh,
         )
 
     print_info("Starting SIMP topology optimization (voxel path)")

@@ -3,9 +3,10 @@
 Same iteration semantics as the voxel driver (see optimize.py and
 src/Optimization/Optimization.jl:178-565); the differences are mechanical:
 flat (n_cells,) density vectors, flat (3*n_nodes,) dof vectors, the
-gather/segment-add UnstructuredOperator, padded-neighbor-list filters, and a
-Jacobi-preconditioned CG (geometric multigrid needs the voxel hierarchy; an
-algebraic hierarchy is future work).
+gather/segment-add UnstructuredOperator, padded-neighbor-list filters, and
+CG preconditioned by the two-level RBM-aggregation AMG (ops/amg.py; the
+algebraic stand-in for the voxel path's geometric multigrid).  Optionally
+element-decomposed over a device mesh (device_mesh=...).
 """
 
 from __future__ import annotations
@@ -59,7 +60,15 @@ class UnstructuredStep:
 
 def build_unstructured_step(mesh, loads, boundary_conditions,
                             params: OptimizationParameters,
-                            acceleration_data=None) -> UnstructuredStep:
+                            acceleration_data=None,
+                            device_mesh=None) -> UnstructuredStep:
+    """Construct the jit-compilable SIMP iteration for an imported mesh.
+
+    device_mesh: optional 1-axis ("e",) jax.sharding.Mesh (see
+    parallel/sharding.py:make_element_mesh) — element-decomposes the
+    operator/filter/AMG batches over devices; node/dof vectors stay
+    replicated and GSPMD all-reduces the scatter-adds.
+    """
     dtype = _resolve_dtype(params)
 
     if not getattr(mesh, "is_volume_mesh", True):
@@ -97,6 +106,24 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
 
     design0 = jnp.full(mesh.n_cells, params.volume_fraction, dtype=dtype)
     u0 = jnp.zeros(mesh.n_dofs, dtype=dtype)
+
+    if device_mesh is not None:
+        from ..parallel.sharding import element_sharding, replicated_sharding
+
+        es = element_sharding(device_mesh)
+        rep = replicated_sharding(device_mesh)
+        put_e = lambda x: jax.device_put(x, es)
+        op.ke, op.dofmap = put_e(op.ke), put_e(op.dofmap)
+        for name in ("neighbors", "weights", "volumes", "weight_sum",
+                     "wv_sum"):
+            setattr(filt, name, put_e(getattr(filt, name)))
+        element_volumes = put_e(element_volumes)
+        vol_sens = put_e(vol_sens)
+        design0 = put_e(design0)
+        if shape_integrals is not None:
+            shape_integrals = put_e(shape_integrals)
+        u0, free_mask, f_ext = (jax.device_put(x, rep)
+                                for x in (u0, free_mask, f_ext))
     dofmap = op.dofmap
 
     def body_force(phys):
@@ -120,6 +147,16 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
 
         free_mask_np = np.asarray(free_mask)
         amg = TwoLevelAMG(op, mesh, free_mask_np)
+        if device_mesh is not None:
+            from ..parallel.sharding import (element_sharding,
+                                             replicated_sharding)
+
+            amg.Ge = jax.device_put(amg.Ge, element_sharding(device_mesh))
+            amg.elem_agg = jax.device_put(amg.elem_agg,
+                                          element_sharding(device_mesh))
+            rep = replicated_sharding(device_mesh)
+            amg.Pn = jax.device_put(amg.Pn, rep)
+            amg.agg_idx = jax.device_put(amg.agg_idx, rep)
 
     def forward(design, u_prev):
         phys = filt.density_filter(design) if use_density_filter else design
@@ -180,7 +217,8 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
 def simp_optimize_unstructured(mesh, loads, boundary_conditions,
                                params: OptimizationParameters,
                                acceleration_data=None,
-                               resume_from=None) -> OptimizationResult:
+                               resume_from=None,
+                               device_mesh=None) -> OptimizationResult:
     print_info("Starting SIMP topology optimization (unstructured path)")
     logger = None
     if params.export_path:
@@ -193,7 +231,7 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     print_data(f"Total mesh volume: {mesh.total_volume}")
 
     us = build_unstructured_step(mesh, loads, boundary_conditions, params,
-                                 acceleration_data)
+                                 acceleration_data, device_mesh=device_mesh)
     step_jit = jax.jit(us.step)
     solve_jit = jax.jit(us.solve)
     total_volume = us.total_volume

@@ -23,6 +23,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_element_mesh",
+    "element_sharding",
+    "replicated_sharding",
     "cell_sharding",
     "node_sharding",
     "shard_voxel_state",
@@ -110,3 +113,42 @@ def shard_voxel_state(mesh: Mesh, *, cell_fields=(), node_fields=()):
     cells = tuple(jax.device_put(a, cs) for a in cell_fields)
     nodes = tuple(jax.device_put(a, ns) for a in node_fields)
     return cells, nodes
+
+
+# ---------------------------------------------------------------------------
+# Unstructured (imported-mesh) path: element-parallel decomposition
+# ---------------------------------------------------------------------------
+
+def make_element_mesh(n_elements: int, n_devices=None, devices=None) -> Mesh:
+    """1-D device mesh over the ELEMENT axis for the unstructured path.
+
+    Uses the largest device count that DIVIDES n_elements (GSPMD rejects
+    uneven input shardings, and padding fake elements would contaminate the
+    OC volume constraint) — e.g. the gripper's 16490 hex8 run on 5 of 8
+    devices, the wheel's 36552 tet4 on all 8.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    while n_devices > 1 and n_elements % n_devices:
+        n_devices -= 1
+    return Mesh(np.asarray(devices[:n_devices]), ("e",))
+
+
+def element_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for element-axis arrays (ke batch, dofmap, densities,
+    volumes, padded filter tables): first dim split over "e".
+
+    The matvec's gather -> batched-matmul is then element-parallel and the
+    scatter-add into the replicated dof vector compiles to per-shard
+    partials + one all-reduce; the filter's padded neighbor tables shard
+    row-wise the same way."""
+    return NamedSharding(mesh, P("e"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Placement for node/dof vectors (u, f, masks): mesh-replicated —
+    n_dofs is never divisible by the device count, and the per-CG-iteration
+    vectors are small next to the element batch."""
+    return NamedSharding(mesh, P())

@@ -176,3 +176,37 @@ def test_weak_scaling_shapes_lower(devices):
     lowered = jax.jit(vs.step).lower(
         vs.design0, vs.u0, vs.pvecs0, *vs.step_args)
     assert "stablehlo" in lowered.as_text()[:10000].lower() or True
+
+
+def test_unstructured_element_sharded_matches(devices):
+    """Element-parallel decomposition of the unstructured path (operator,
+    filter tables, AMG batches sharded over 'e'; dof vectors replicated)
+    matches the single-device trajectory."""
+    from easysimp_tpu.parallel.sharding import make_element_mesh
+    from test_unstructured import tet_mesh_from_voxels
+
+    mesh = tet_mesh_from_voxels((4, 2, 2))  # 96 elements % 8 == 0
+    bc = et.apply_fixed_boundary(
+        mesh, et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0], 1e-6))
+    load = et.PointLoad(et.select_nodes_by_box(mesh, [4, 0, 0], [4, 0, 2]),
+                        [0.0, -1.0, 0.0])
+    params = et.OptimizationParameters(
+        E0=100.0, Emin=1e-6, volume_fraction=0.5, max_iterations=4,
+        tolerance=0.01, filter_radius=1.5, dtype="float64", cg_rtol=1e-11)
+    res1 = et.simp_optimize(mesh, [load], [bc], params)
+    dm = make_element_mesh(mesh.n_cells, devices=devices)
+    assert dm.devices.size == 8
+    res8 = et.simp_optimize(mesh, [load], [bc], params, mesh=dm)
+    np.testing.assert_allclose(res8.energy_history, res1.energy_history,
+                               rtol=1e-8)
+    np.testing.assert_allclose(res8.densities, res1.densities, atol=1e-9)
+
+
+def test_make_element_mesh_divisibility():
+    from easysimp_tpu.parallel.sharding import make_element_mesh
+
+    devs = jax.devices()
+    # gripper element count: largest divisor of 16490 <= 8 is 5
+    assert make_element_mesh(16490, devices=devs).devices.size == 5
+    assert make_element_mesh(36552, devices=devs).devices.size == 8
+    assert make_element_mesh(7, n_devices=4, devices=devs).devices.size == 1
