@@ -75,8 +75,10 @@ def _phase_breakdown(vs, design, u, pvecs):
                                           reps=5)))
     rows.append(("full solve (CG)", _time_ms(
         jax.jit(vs.solve), design, pvecs, *vs.step_args, reps=2)))
-    rows.append(("full step", _time_ms(
-        jax.jit(vs.step), design, u, pvecs, *vs.step_args, reps=5)))
+    rows.append(("step: solve part", _time_ms(
+        jax.jit(vs.step_solve), design, u, pvecs, f_ext, free_mask, reps=5)))
+    rows.append(("step: update part", _time_ms(
+        jax.jit(vs.step_update), design, phys, u, vsens, reps=5)))
     log("--- phase breakdown (ms) ---")
     for name, ms in rows:
         log(f"  {name:>20s}: {ms:8.2f}")
@@ -118,31 +120,39 @@ def run_measurement():
 
     t0 = time.time()
     vs = build_voxel_step(grid, [load], [bc], params)
-    step = jax.jit(vs.step, donate_argnums=(0, 1, 2))
+    # Two programs per iteration, matching the driver (the one-program
+    # solve+sens+OC composition faults the TPU next to the Pallas kernels;
+    # see VoxelStep docstring).
+    solve_part = jax.jit(vs.step_solve, donate_argnums=(1, 2))
+    update_part = jax.jit(vs.step_update)
+    f_ext, free_mask, vsens = vs.step_args
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
     if vs.power_init is not None:
         pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
 
-    outs = step(design, u, pvecs, *vs.step_args)
-    jax.block_until_ready(outs)
+    def one_step(design, u, pvecs):
+        phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
+            design, u, pvecs, f_ext, free_mask)
+        new_design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
+        return new_design, u, pvecs, energy, cg_iters
+
+    design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
+    jax.block_until_ready(design)
     log(f"compile+first step: {time.time() - t0:.1f}s; "
-        f"energy {float(outs[3]):.6e} cg {int(outs[6])}")
-    design, u, pvecs = outs[0], outs[1], outs[-1]
-    outs = step(design, u, pvecs, *vs.step_args)
-    jax.block_until_ready(outs)
-    log(f"warm step 2: energy {float(outs[3]):.6e} cg {int(outs[6])}")
-    design, u, pvecs = outs[0], outs[1], outs[-1]
+        f"energy {float(energy):.6e} cg {int(cg_iters)}")
+    design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
+    jax.block_until_ready(design)
+    log(f"warm step 2: energy {float(energy):.6e} cg {int(cg_iters)}")
 
     t0 = time.time()
     for _ in range(n_timed):
-        outs = step(design, u, pvecs, *vs.step_args)
-        design, u, pvecs = outs[0], outs[1], outs[-1]
-    jax.block_until_ready(outs)
+        design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
+    jax.block_until_ready(design)
     elapsed = time.time() - t0
 
     iters_per_sec = n_timed / elapsed
     log(f"{n_timed} SIMP iters in {elapsed:.2f}s -> {iters_per_sec:.2f} it/s;"
-        f" last solve: {int(outs[6])} CG iters; energy {float(outs[3]):.6e}")
+        f" last solve: {int(cg_iters)} CG iters; energy {float(energy):.6e}")
     if with_phases:
         _phase_breakdown(vs, design, u, pvecs)
     print(json.dumps({

@@ -128,6 +128,8 @@ class VoxelStep:
     op: VoxelOperator
     filt: Any
     step: Callable          # step(design, u_prev, pvecs, *step_args)
+    step_solve: Callable    # step_solve(design, u_prev, pvecs, f_ext, mask)
+    step_update: Callable   # step_update(design, phys, u, vsens)
     metrics: Callable
     solve: Callable         # solve(design, pvecs, *step_args)
     design0: jax.Array
@@ -152,6 +154,13 @@ class VoxelStep:
     # live in the separate `metrics` program: compiling them into the same
     # program as the fused Pallas matvec deterministically faulted the TPU
     # at 128^3 (scoped-resource interaction); two dispatches cost ~nothing.
+    # For the same reason the DRIVERS run the iteration as TWO programs —
+    # `step_solve` (the Pallas/MG-CG forward solve) and `step_update`
+    # (sensitivities + filter + OC): round-2 isolation showed the
+    # solve+sens+OC composition in ONE program faults the TPU at 128^3
+    # while each sub-composition runs clean (memory/tpu-env-gotchas.md).
+    # `step` remains the single-program composition for CPU tests and the
+    # sharded dryrun.
     STEP_OUTPUTS = (
         "new_design", "u", "phys", "energy", "volume", "lam",
         "cg_iters", "cg_residual", "bisect_iters", "bisect_verr", "fsens",
@@ -231,11 +240,15 @@ def build_voxel_step(grid, loads, boundary_conditions,
         phys = filt.density_filter(design) if use_density_filter else design
         return mg_power_init(op.youngs_modulus(phys), free_mask)
 
-    def step(design, u_prev, pvecs, f_ext, free_mask, vsens):
+    def step_solve(design, u_prev, pvecs, f_ext, free_mask):
+        """Program 1 of the iteration: filter -> MG-CG solve (Pallas)."""
         phys, sol, energy, volume, new_pvecs = forward(
             design, u_prev, pvecs, f_ext, free_mask)
-        u = sol.u
+        return (phys, sol.u, energy, volume, sol.iterations,
+                sol.residual_norm, new_pvecs)
 
+    def step_update(design, phys, u, vsens):
+        """Program 2: sensitivities -> filter -> OC design update."""
         sens = op.compliance_sensitivities(u, phys)
         if use_density_filter:
             fsens = filt.chain_rule(sens)
@@ -251,8 +264,15 @@ def build_voxel_step(grid, loads, boundary_conditions,
             elem_vol, params.move_limit, params.damping,
             volume_weights=vsens * total_volume,
         )
-        return (new_design, u, phys, energy, volume, lam, sol.iterations,
-                sol.residual_norm, bisect_iters, bisect_verr, fsens,
+        return new_design, lam, bisect_iters, bisect_verr, fsens
+
+    def step(design, u_prev, pvecs, f_ext, free_mask, vsens):
+        (phys, u, energy, volume, cg_iters, cg_res, new_pvecs) = step_solve(
+            design, u_prev, pvecs, f_ext, free_mask)
+        new_design, lam, bisect_iters, bisect_verr, fsens = step_update(
+            design, phys, u, vsens)
+        return (new_design, u, phys, energy, volume, lam, cg_iters,
+                cg_res, bisect_iters, bisect_verr, fsens,
                 new_pvecs)
 
     def metrics(new_design, design, phys, u, fsens):
@@ -271,7 +291,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
         return phys, sol.u, energy
 
     return VoxelStep(
-        grid=grid, op=op, filt=filt, step=step, metrics=metrics,
+        grid=grid, op=op, filt=filt, step=step, step_solve=step_solve,
+        step_update=step_update, metrics=metrics,
         solve=solve_only, design0=design0, u0=u0,
         step_args=(f_ext, free_mask, vol_sens), elem_vol=elem_vol,
         total_volume=total_volume, dtype=dtype,
@@ -321,7 +342,10 @@ def simp_optimize(grid, loads, boundary_conditions,
 
     vs = build_voxel_step(grid, loads, boundary_conditions, params,
                           acceleration_data, mesh)
-    step_jit = jax.jit(vs.step)
+    # Two programs per iteration (see VoxelStep docstring: the one-program
+    # composition faults the TPU next to the fused Pallas kernels).
+    solve_part_jit = jax.jit(vs.step_solve)
+    update_part_jit = jax.jit(vs.step_update)
     metrics_jit = jax.jit(vs.metrics)
     solve_jit = jax.jit(vs.solve)
     op, total_volume, elem_vol = vs.op, vs.total_volume, vs.elem_vol
@@ -390,9 +414,11 @@ def simp_optimize(grid, loads, boundary_conditions,
 
             profile_ctx = _profiler.trace(params.profile_dir)
             profile_ctx.__enter__()
-        (new_design, u_new, phys, energy, volume, lam, cg_iters, cg_res,
-         bisect_iters, bisect_verr, fsens, pvecs) = step_jit(
-            design, u, pvecs, *vs.step_args)
+        f_ext_arg, free_mask_arg, vsens_arg = vs.step_args
+        (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
+            solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg)
+        (new_design, lam, bisect_iters, bisect_verr, fsens) = \
+            update_part_jit(design, phys, u_new, vsens_arg)
         (change, grayness, max_disp, frac_neg, mean_abs, max_abs) = \
             metrics_jit(new_design, design, phys, u_new, fsens)
         u = u_new
