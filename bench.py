@@ -20,7 +20,22 @@ import subprocess
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+
+def _enable_compilation_cache():
+    """Point JAX's persistent compile cache at a stable local dir.
+
+    Must be the EXPLICIT config update: in this jaxlib the
+    JAX_COMPILATION_CACHE_DIR env var is read by nothing (verified — the
+    config default ignores the environment), so env-only setups silently
+    recompile ~9 minutes per process through the TPU tunnel.  With the
+    explicit update the cache key is stable across processes (measured:
+    identical entry filename, 0.19s hit vs 0.69s cold on a probe program).
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 
 
 def log(*a):
@@ -92,9 +107,11 @@ def run_measurement():
     n_timed = int(os.environ.get("BENCH_ITERS", "10"))
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
     with_phases = os.environ.get("BENCH_PHASES", "0") == "1"
+    mg_dtype = os.environ.get("BENCH_MG_DTYPE", "")
 
     import jax
 
+    _enable_compilation_cache()
     log(f"devices: {jax.devices()}")
 
     import easysimp_tpu as et
@@ -114,7 +131,8 @@ def run_measurement():
     params = et.OptimizationParameters(
         E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
         filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
-        preconditioner="multigrid", use_pallas_matvec=use_pallas)
+        preconditioner="multigrid", use_pallas_matvec=use_pallas,
+        mg_cycle_dtype=mg_dtype)
     log(f"grid {nels} = {grid.n_cells} cells, {grid.n_dofs} dofs, "
         f"dtype {dtype}, pallas {use_pallas}")
 
@@ -123,7 +141,10 @@ def run_measurement():
     # Two programs per iteration, matching the driver (the one-program
     # solve+sens+OC composition faults the TPU next to the Pallas kernels;
     # see VoxelStep docstring).
-    solve_part = jax.jit(vs.step_solve, donate_argnums=(1, 2))
+    # No donation: buffer aliasing is an UNVALIDATED configuration next to
+    # the Pallas kernels (the validated step_split isolation run used plain
+    # jit), and XLA reuses the freed buffers anyway at these sizes.
+    solve_part = jax.jit(vs.step_solve)
     update_part = jax.jit(vs.step_update)
     f_ext, free_mask, vsens = vs.step_args
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
@@ -153,14 +174,20 @@ def run_measurement():
     iters_per_sec = n_timed / elapsed
     log(f"{n_timed} SIMP iters in {elapsed:.2f}s -> {iters_per_sec:.2f} it/s;"
         f" last solve: {int(cg_iters)} CG iters; energy {float(energy):.6e}")
-    if with_phases:
-        _phase_breakdown(vs, design, u, pvecs)
+    # JSON goes out BEFORE the optional phase breakdown: a TPU fault inside
+    # the breakdown's extra programs must not discard a completed
+    # measurement (it wedges the process, so guard + flush-first).
     print(json.dumps({
         "metric": f"simp_iterations_per_sec_{nx}x{ny}x{nz}",
         "value": round(iters_per_sec, 3),
         "unit": "iters/sec",
         "vs_baseline": round(iters_per_sec / 5.0, 3),
     }), flush=True)
+    if with_phases:
+        try:
+            _phase_breakdown(vs, design, u, pvecs)
+        except Exception as e:  # noqa: BLE001 — diagnostics only
+            log(f"phase breakdown aborted: {e}")
 
 
 def main():
@@ -178,7 +205,13 @@ def main():
             env=env, stdout=subprocess.PIPE, text=True)
         out = proc.stdout.strip().splitlines()
         json_lines = [l for l in out if l.startswith("{")]
-        if proc.returncode == 0 and json_lines:
+        if json_lines:
+            # A JSON line means the measurement completed; a nonzero exit
+            # after that (e.g. a fault in optional diagnostics) is logged
+            # but does not invalidate the number.
+            if proc.returncode != 0:
+                log(f"attempt '{name}': measurement ok, child exited "
+                    f"rc={proc.returncode} afterwards")
             print(json_lines[-1], flush=True)
             return
         log(f"attempt '{name}' failed (rc={proc.returncode}); retrying")

@@ -150,6 +150,15 @@ class MultigridPreconditioner:
                               dtype=self.cycle_dtype)
                 for o in self.ops
             ]
+            # The low-precision cycle operators need their own fused-kernel
+            # installs (they are new instances; the kernel is dtype-generic):
+            # otherwise every V-cycle matvec — the bulk of the solve — falls
+            # back to the ~5x slower XLA gather path.
+            if getattr(fine_op, "_fused_matvec", None) is not None:
+                from .pallas_kernels import install_fused_matvec
+
+                for o in self.cycle_ops:
+                    install_fused_matvec(o)
         else:
             self.cycle_ops = self.ops
 
