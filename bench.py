@@ -99,6 +99,69 @@ def _phase_breakdown(vs, design, u, pvecs):
         log(f"  {name:>20s}: {ms:8.2f}")
 
 
+def run_sharded_evidence(n_devices: int):
+    """Sharded-mode child: lower + execute the SIMP step over an n-device
+    virtual CPU mesh and record the collective counts per step from the
+    compiled HLO (the multi-chip program evidence — the 5 it/s target is
+    defined on a v5p-8, which this single-chip host cannot measure, so the
+    recorded artifact is the sharded program itself: same math, N-device
+    shapes, XLA-inserted halo exchanges + reduction collectives)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # env var is ignored (site hook)
+
+    import easysimp_tpu as et
+    from easysimp_tpu.opt.optimize import build_voxel_step
+    from easysimp_tpu.parallel.sharding import best_mesh_shape, make_mesh
+    from easysimp_tpu.utils.terminal import set_quiet
+
+    set_quiet(True)
+    nels = tuple(int(v) for v in
+                 os.environ.get("BENCH_NELS", "64,64,64").split(","))
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        log(f"only {len(devices)} virtual devices (set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices}); skipping")
+        sys.exit(1)
+    nx, ny, nz = nels
+    grid = et.generate_grid(nels, (0.0, 0.0, 0.0),
+                            tuple(float(n) for n in nels))
+    bc = et.apply_fixed_boundary(
+        grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+    load = et.PointLoad(
+        et.select_nodes_by_box(grid, [nx, 0, 0], [nx, 0, nz]),
+        [0.0, -1.0, 0.0])
+    params = et.OptimizationParameters(
+        E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
+        filter_radius=1.5, dtype="float32", cg_rtol=1e-5, cg_maxiter=100,
+        preconditioner="multigrid")
+    shape = best_mesh_shape(n_devices, nels)
+    mesh = make_mesh(n_devices, shape=shape, devices=devices[:n_devices])
+    vs = build_voxel_step(grid, [load], [bc], params, mesh=mesh)
+    lowered = jax.jit(vs.step).lower(
+        vs.design0, vs.u0, vs.pvecs0, *vs.step_args)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    n_permute = hlo.count("collective-permute")
+    n_allreduce = hlo.count("all-reduce")
+    t0 = time.time()
+    outs = compiled(vs.design0, vs.u0, vs.pvecs0, *vs.step_args)
+    jax.block_until_ready(outs)
+    log(f"sharded step OK: mesh={shape} grid={nels} "
+        f"energy={float(outs[3]):.6e} cg={int(outs[6])} "
+        f"exec {time.time() - t0:.2f}s")
+    log(f"collectives/step in compiled HLO: "
+        f"{n_permute} collective-permute (halo exchanges), "
+        f"{n_allreduce} all-reduce (CG/volume reductions)")
+    print(json.dumps({
+        "metric": f"sharded_step_collectives_{n_devices}dev_"
+                  f"{nx}x{ny}x{nz}",
+        "value": n_permute + n_allreduce,
+        "unit": "collectives/step",
+        "vs_baseline": 1.0 if (n_permute > 0 and n_allreduce > 0) else 0.0,
+    }), flush=True)
+
+
 def run_measurement():
     """Child-process entry: one full measurement, JSON on stdout."""
     nels = tuple(int(v) for v in
@@ -191,13 +254,19 @@ def run_measurement():
 
 
 def main():
-    # The fused-kernel path has shown a rare, nondeterministic TPU fault at
-    # 128^3 (under investigation); it is ~5x faster when it runs, so retry it
-    # once before falling back to the always-stable XLA path.
-    attempts = [("1", "fused Pallas matvec"),
-                ("1", "fused Pallas matvec (retry)"),
-                ("0", "XLA matvec")]
-    for flag, name in attempts:
+    # Fresh TPU processes nondeterministically die with "UNAVAILABLE: TPU
+    # device error" on the FIRST execution of a heavy program (measured
+    # ~30-50% of processes in round 2, INDEPENDENT of which program — the
+    # identical child both passed and faulted back-to-back).  The
+    # measurement itself is stable once a process gets through, so retry
+    # the fused path several times (compiles are cheap now that the
+    # persistent cache works), with a settle delay between attempts,
+    # before falling back to the XLA path.
+    attempts = [("1", "fused Pallas matvec")] * 4 + [("0", "XLA matvec")]
+    for k, (flag, name) in enumerate(attempts):
+        if k:
+            time.sleep(20)
+            name = f"{name} (attempt {k + 1})"
         env = dict(os.environ, BENCH_CHILD="1", BENCH_USE_PALLAS=flag)
         log(f"--- bench attempt: {name} ---")
         proc = subprocess.run(
@@ -220,7 +289,17 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_CHILD") == "1":
+    if os.environ.get("BENCH_SHARDED"):
+        # evidence mode: virtual-device mesh + collective counts (see
+        # run_sharded_evidence) — opt-in, never the driver default.
+        flag = ("--xla_force_host_platform_device_count="
+                + os.environ["BENCH_SHARDED"])
+        if "xla_force_host_platform_device_count" not in \
+                os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
+        run_sharded_evidence(int(os.environ["BENCH_SHARDED"]))
+    elif os.environ.get("BENCH_CHILD") == "1":
         run_measurement()
     else:
         main()
