@@ -55,7 +55,23 @@ __all__ = ["pallas_matvec_available", "make_pallas_matvec",
 # small (coarse multigrid) grids the z padding dominates and XLA wins.
 _MIN_DIM_FOR_KERNEL = 64
 
-_VMEM_BUDGET = 34 * 1024 * 1024  # margin under the 48MB scoped limit
+
+def _vmem_limit_bytes():
+    """Scoped-VMEM limit requested from Mosaic (EASYSIMP_PALLAS_VMEM_MB).
+
+    Default 48MB (v5e/v5p have 128MB physical VMEM per core).  Knob exists
+    because the scoped allocation appears SESSION-dependent on shared/
+    tunneled chips — identical programs pass or die with 'TPU device error'
+    per process — and a smaller request shrinks the exposure."""
+    import os
+
+    return int(os.environ.get("EASYSIMP_PALLAS_VMEM_MB", "48")) * 1024 * 1024
+
+
+def _vmem_budget():
+    """Tile-selection budget: leave margin under the scoped limit
+    (34MB at the default 48MB — the validated round-1/round-2 margin)."""
+    return int(0.72 * _vmem_limit_bytes())
 
 
 def _round_up(v, m):
@@ -70,7 +86,7 @@ def _matvec_vmem_estimate(BX, BYP, NZP):
     return 44 * (BX + 1) * BYP * NZP * 4
 
 
-def select_blocks(nels, budget=_VMEM_BUDGET):
+def select_blocks(nels, budget=None):
     """Pick an (BX, BY) element tile whose kernel footprint fits `budget`.
 
     BX must divide nx; BY must divide ny and be a multiple of 8 (aligned
@@ -78,6 +94,8 @@ def select_blocks(nels, budget=_VMEM_BUDGET):
     smallest u over-read ((BX+1)/BX * BYP/BY).  Returns None if nothing
     fits.
     """
+    if budget is None:
+        budget = _vmem_budget()
     nx, ny, nz = nels
     NZP = _round_up(nz + 1, 128)
     y_candidates = [ny]
@@ -265,7 +283,7 @@ def make_pallas_matvec(op, block=8, interpret=False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             # large grids need > the 16MB default scoped-vmem budget for the
             # halo slab + accumulators; v5e/v5p have far more physical VMEM
-            vmem_limit_bytes=48 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         interpret=interpret,
     )
@@ -373,7 +391,7 @@ def make_pallas_energies(op, block, interpret=False):
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         interpret=interpret,
     )
