@@ -213,14 +213,22 @@ def run_measurement():
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
     if vs.power_init is not None:
         pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
+        jax.block_until_ready(pvecs)  # drain before loading the next program
 
-    def one_step(design, u, pvecs):
+    def one_step(design, u, pvecs, serialize=False):
         phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
             design, u, pvecs, f_ext, free_mask)
+        if serialize:
+            # First execution: drain the solve program before compiling/
+            # loading the update program — keeps program load and execution
+            # from overlapping on the device (suspected trigger of the
+            # first-execution "TPU device error" flake).
+            jax.block_until_ready(u)
         new_design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
         return new_design, u, pvecs, energy, cg_iters
 
-    design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
+    design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs,
+                                                  serialize=True)
     jax.block_until_ready(design)
     log(f"compile+first step: {time.time() - t0:.1f}s; "
         f"energy {float(energy):.6e} cg {int(cg_iters)}")
@@ -262,7 +270,7 @@ def main():
     # the fused path several times (compiles are cheap now that the
     # persistent cache works), with a settle delay between attempts,
     # before falling back to the XLA path.
-    attempts = [("1", "fused Pallas matvec")] * 4 + [("0", "XLA matvec")]
+    attempts = [("1", "fused Pallas matvec")] * 6 + [("0", "XLA matvec")]
     for k, (flag, name) in enumerate(attempts):
         if k:
             time.sleep(20)

@@ -386,6 +386,7 @@ def simp_optimize(grid, loads, boundary_conditions,
         # One-time cold lambda_max estimation (full power iteration); the
         # step then only REFRESHES the carried vectors (see ops/multigrid.py).
         pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
+        jax.block_until_ready(pvecs)  # drain before loading the next program
 
     converged = False
     iteration = start_iteration - 1
@@ -417,6 +418,12 @@ def simp_optimize(grid, loads, boundary_conditions,
         f_ext_arg, free_mask_arg, vsens_arg = vs.step_args
         (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
             solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg)
+        if it == start_iteration:
+            # First iteration: drain the solve program before compiling/
+            # loading the update program — program load overlapping a long
+            # first execution is the suspected trigger of the per-process
+            # "TPU device error" flake (see CLAUDE.md lore).
+            jax.block_until_ready(u_new)
         (new_design, lam, bisect_iters, bisect_verr, fsens) = \
             update_part_jit(design, phys, u_new, vsens_arg)
         (change, grayness, max_disp, frac_neg, mean_abs, max_abs) = \
