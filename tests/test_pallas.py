@@ -89,3 +89,20 @@ def test_optimize_with_pallas_matvec_matches():
     np.testing.assert_allclose(res_p.energy_history, res_x.energy_history,
                                rtol=1e-10)
     np.testing.assert_allclose(res_p.densities, res_x.densities, atol=1e-10)
+
+
+@pytest.mark.parametrize("nels", [(8, 8, 8), (16, 16, 16), (32, 32, 32)])
+def test_pallas_matvec_small_cubes(nels):
+    """Coarse-multigrid-level shapes: exactly what install_fused_matvec
+    would pick if the kernel is propagated below the 64-dim gate (the
+    all-levels-pallas configuration under evaluation for the TPU
+    mixed-program flake)."""
+    from easysimp_tpu.ops.pallas_kernels import select_blocks
+
+    block = select_blocks(nels)
+    assert block is not None
+    grid, op, u, scale = _random_problem(nels, (1.6, 1.1, 0.9), seed=7)
+    mv = make_pallas_matvec(op, block=block, interpret=True)
+    got = np.asarray(mv(u, scale))
+    want = np.asarray(op.apply_K(u, scale))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
