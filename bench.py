@@ -271,10 +271,18 @@ def main():
     # persistent cache works), with a settle delay between attempts,
     # before falling back to the XLA path.
     attempts = [("1", "fused Pallas matvec")] * 6 + [("0", "XLA matvec")]
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    t_start = time.time()
     for k, (flag, name) in enumerate(attempts):
         if k:
             time.sleep(20)
             name = f"{name} (attempt {k + 1})"
+        if flag == "1" and k and time.time() - t_start > budget_s:
+            # Out of budget for fused retries: jump to the reliable XLA
+            # fallback so SOME measurement is always recorded before any
+            # external timeout.
+            log(f"budget {budget_s:.0f}s exhausted; skipping to XLA fallback")
+            continue
         env = dict(os.environ, BENCH_CHILD="1", BENCH_USE_PALLAS=flag)
         log(f"--- bench attempt: {name} ---")
         proc = subprocess.run(

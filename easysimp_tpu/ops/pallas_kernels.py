@@ -115,14 +115,25 @@ def select_blocks(nels, budget=None):
     return None
 
 
-def install_fused_matvec(op, min_dim=_MIN_DIM_FOR_KERNEL) -> bool:
+def install_fused_matvec(op, min_dim=None) -> bool:
     """Install the fused matvec + energies kernels on a VoxelOperator when
     profitable.
 
     Returns True if installed.  Criteria: every grid dimension >= min_dim
     (padding overhead bounded) and some (BX, BY) element tile fits the
     scoped-VMEM budget (y-blocking keeps this satisfiable at 256^3+).
+
+    min_dim defaults to EASYSIMP_PALLAS_MIN_DIM (else 64).  Lowering it to 8
+    puts the kernel on EVERY multigrid level — z-padding waste at the small
+    levels, but it removes the XLA gather-stencil path from the solve/power
+    programs entirely (under evaluation for the TPU mixed-program flake;
+    parity covered by test_pallas_matvec_small_cubes).
     """
+    if min_dim is None:
+        import os
+
+        min_dim = int(os.environ.get("EASYSIMP_PALLAS_MIN_DIM",
+                                     _MIN_DIM_FOR_KERNEL))
     nels = op.grid.nels
     if min(nels) < min_dim:
         return False
