@@ -78,6 +78,13 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
+def _compute_dtype(storage_dtype):
+    """fp32 for sub-32-bit storage (Mosaic roll needs 32-bit lanes), native
+    otherwise."""
+    return jnp.float32 if jnp.dtype(storage_dtype).itemsize < 4 \
+        else storage_dtype
+
+
 def _matvec_vmem_estimate(BX, BYP, NZP):
     """Empirical Mosaic scoped-stack estimate for the matvec kernel (bytes).
 
@@ -189,18 +196,24 @@ def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, BY, BYP, NZP):
         u_blk, sem)
     dma.start()
 
+    # Sub-32-bit storage (mg_cycle_dtype="bfloat16") upcasts to fp32 for the
+    # in-kernel compute: Mosaic's roll is "not implemented" for non-32-bit
+    # data, and fp32 VPU FMAs cost the same — the HBM traffic (u, scale,
+    # out) stays bf16, which is the whole win.  32/64-bit storage computes
+    # natively (the fp64 interpret-mode parity tests depend on it).
+    cdt = _compute_dtype(u_blk.dtype)
     # Two pure accumulators per component (x-corner offset dxc in {0, 1});
     # Mosaic has no in-kernel scatter-add, so dynamic-slice .at[].add on
     # VALUES is out — plain adds here, static ref stores at the end.
-    acc = [[jnp.zeros((BX, BYP, NZP), u_blk.dtype) for _ in range(2)]
+    acc = [[jnp.zeros((BX, BYP, NZP), cdt) for _ in range(2)]
            for _ in range(3)]
     dma.wait()
 
-    scale = scale_ref[0, 0]                            # (BX, BYP, NZP)
+    scale = scale_ref[0, 0].astype(cdt)                # (BX, BYP, NZP)
     # E_c = scale shifted so that index Y holds E at element (Y - dyc):
     # 4 (dyc, dzc) variants; the x shift is a free leading-dim slice.
     E = {(dy, dz): _roll2(scale, dy, dz) for dy in (0, 1) for dz in (0, 1)}
-    u = [u_blk[j] for j in range(3)]                   # (BX+1, BYP, NZP)
+    u = [u_blk[j].astype(cdt) for j in range(3)]       # (BX+1, BYP, NZP)
 
     # Group corner pairs by their relative (y, z) roll so each rolled
     # displacement variant is built once.
@@ -226,11 +239,11 @@ def _kernel(scale_ref, u_hbm, out_ref, u_blk, sem, *, ke, BX, BY, BYP, NZP):
 
     # Combine the two x-offset accumulators in VALUES and store each
     # component once (no read-modify-write on the pipelined output buffer).
-    zplane = jnp.zeros((1, BYP, NZP), u_blk.dtype)
+    zplane = jnp.zeros((1, BYP, NZP), cdt)
     for i in range(3):
         lo = jnp.concatenate([acc[i][0], zplane], axis=0)   # (BX+1, ...)
         hi = jnp.concatenate([zplane, acc[i][1]], axis=0)
-        out_ref[0, 0, i] = lo + hi
+        out_ref[0, 0, i] = (lo + hi).astype(u_blk.dtype)
 
 
 def _tile_geometry(grid, block):
@@ -345,10 +358,11 @@ def _energies_kernel(u_hbm, out_ref, u_blk, sem, *, ke, BX, BY, BYP, NZP):
         u_hbm.at[:, pl.ds(bx * BX, BX + 1), pl.ds(by * BY, BYP), :],
         u_blk, sem)
     dma.start()
-    acc = jnp.zeros((BX, BYP, NZP), u_blk.dtype)
+    cdt = _compute_dtype(u_blk.dtype)  # see _kernel: roll needs >=32-bit
+    acc = jnp.zeros((BX, BYP, NZP), cdt)
     dma.wait()
 
-    u = [u_blk[j] for j in range(3)]
+    u = [u_blk[j].astype(cdt) for j in range(3)]
     # V[(dy, dz)][j]: row Y holds u_j[Y + dy], col Z holds col Z + dz.
     V = {(dy, dz): [_roll2(u[j], -dy, -dz) for j in range(3)]
          for dy in (0, 1) for dz in (0, 1)}
@@ -369,7 +383,7 @@ def _energies_kernel(u_hbm, out_ref, u_blk, sem, *, ke, BX, BY, BYP, NZP):
                         coeff = 2.0 * coeff
                     acc = acc + coeff * (uc[i][dxc : dxc + BX]
                                          * ub[j][dxb : dxb + BX])
-    out_ref[0, 0] = acc
+    out_ref[0, 0] = acc.astype(u_blk.dtype)
 
 
 def make_pallas_energies(op, block, interpret=False):

@@ -106,3 +106,25 @@ def test_pallas_matvec_small_cubes(nels):
     got = np.asarray(mv(u, scale))
     want = np.asarray(op.apply_K(u, scale))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_matvec_bfloat16_storage():
+    """bf16 operator (mg_cycle_dtype path): storage stays bf16, in-kernel
+    compute upcasts to fp32 (Mosaic roll is unimplemented for 16-bit).
+    Tolerance reflects bf16 rounding of inputs/outputs."""
+    import jax.numpy as jnp
+
+    nels = (16, 8, 4)
+    grid = et.generate_grid(nels, (0.0, 0.0, 0.0), (1.6, 1.1, 0.9))
+    op16 = et.VoxelOperator(grid, dtype=jnp.bfloat16)
+    op64 = et.VoxelOperator(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal((*grid.nnodes_per_axis, 3))
+    rho = rng.uniform(0.05, 1.0, grid.nels)
+    scale64 = op64.youngs_modulus(jnp.asarray(rho))
+    mv = make_pallas_matvec(op16, block=8, interpret=True)
+    got = np.asarray(mv(jnp.asarray(u, jnp.bfloat16),
+                        jnp.asarray(scale64, jnp.bfloat16)), dtype=np.float64)
+    want = np.asarray(op64.apply_K(jnp.asarray(u), scale64))
+    scale_ref = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.05 * scale_ref, rtol=0.05)
