@@ -1,0 +1,292 @@
+"""27-point block node stencils and Galerkin (RAP) coarsening.
+
+The assembled voxel stiffness K couples each node to its 27 neighbors
+(including itself) through 3x3 blocks; as an array this is a field of
+coefficients C_o(n) in R^{3x3}, one per offset o in {-1,0,1}^3:
+
+    (K u)(n) = sum_o C_o(n) @ u(n + o),
+    C_o(n)   = sum_{a, a+o in corners} E(n - a) * KE[a, a+o]
+
+with KE[a, b] the 3x3 block of the unit-modulus element stiffness for local
+corners a, b (ops/elements.py HEX_CORNERS order).
+
+Why this exists: the multigrid coarse operators.  Rediscretizing coarse
+levels with arithmetically-averaged moduli (ops/multigrid.py round 1-2) loses
+the fine void/solid interfaces, and CG grows 10 -> 34+ iterations as the SIMP
+contrast develops (the reference's CHOLMOD direct solve at
+src/Optimization/Optimization.jl:317 has no such growth — this is the gap
+that closes it).  The variational (Galerkin) coarse operator A_c = P^T A P
+with the trilinear prolongation P is again a 27-point block stencil on the
+coarse node grid, computable field-wise:
+
+  * level 1 comes straight from the FINE element modulus field through one
+    stride-2 kernel-4^3 convolution (`level1_stencil_from_scale`) — the fine
+    stencil (27x9 fields at fine resolution, ~2 GB at 128^3) is never
+    materialized;
+  * deeper levels coarsen stencil -> stencil by the axis-separable RAP
+    (`coarsen_stencil_axis`), exact because the trilinear P factors per axis.
+
+Everything here is jit-safe: offsets/weights are static Python, fields are
+jnp arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .elements import HEX_CORNERS
+
+__all__ = [
+    "ke_corner_blocks",
+    "assemble_node_stencil",
+    "fold_bc_into_stencil",
+    "apply_stencil",
+    "stencil_diagonal",
+    "stencil_row_abs_sums",
+    "coarsen_stencil_axis",
+    "coarsen_stencil",
+    "level1_weights",
+    "level1_stencil_from_scale",
+    "stencil_to_dense",
+]
+
+_CORNER_INDEX = {c: i for i, c in enumerate(HEX_CORNERS)}
+_OFF = (-1, 0, 1)
+
+
+def _p1(d: int) -> float:
+    """1-D trilinear prolongation weight at node distance d (in fine nodes):
+    fine node 2N+d receives weight p1(d) from coarse node N."""
+    return 1.0 if d == 0 else 0.5
+
+
+def ke_corner_blocks(ke) -> np.ndarray:
+    """(8, 8, 3, 3) corner-pair blocks of the 24x24 element stiffness."""
+    ke = np.asarray(ke, dtype=np.float64)
+    return ke.reshape(8, 3, 8, 3).transpose(0, 2, 1, 3)
+
+
+def _valid_corner_pairs(o):
+    """Corner offsets a with both a and a+o in {0,1}^3 (per-axis)."""
+    out = []
+    for a in HEX_CORNERS:
+        b = (a[0] + o[0], a[1] + o[1], a[2] + o[2])
+        if b in _CORNER_INDEX:
+            out.append((a, b))
+    return out
+
+
+def assemble_node_stencil(scale, ke):
+    """Element modulus field (nx, ny, nz) -> node stencil
+    (3, 3, 3, nnx, nny, nnz, 3, 3); C[ox+1, oy+1, oz+1] is C_o.
+
+    Boundary behavior: offsets pointing outside the grid get exactly-zero
+    blocks (the zero-padded scale kills them), so `apply_stencil` needs no
+    boundary cases.  Matches the scipy-assembled K (tests/test_stencil.py).
+    """
+    KE = ke_corner_blocks(ke)
+    nx, ny, nz = scale.shape
+    sp = jnp.pad(scale, 1)
+    rows = []
+    for ox in _OFF:
+        for oy in _OFF:
+            for oz in _OFF:
+                acc = None
+                for a, b in _valid_corner_pairs((ox, oy, oz)):
+                    blk = jnp.asarray(
+                        KE[_CORNER_INDEX[a], _CORNER_INDEX[b]],
+                        dtype=scale.dtype)
+                    sl = sp[1 - a[0]: 2 - a[0] + nx,
+                            1 - a[1]: 2 - a[1] + ny,
+                            1 - a[2]: 2 - a[2] + nz]
+                    term = sl[..., None, None] * blk
+                    acc = term if acc is None else acc + term
+                rows.append(acc)
+    C = jnp.stack(rows)
+    return C.reshape(3, 3, 3, *C.shape[1:])
+
+
+def fold_bc_into_stencil(C, free_mask):
+    """Fold homogeneous Dirichlet masking into the stencil:
+
+        C_o(n)[i, j] *= m(n)[i] * m(n+o)[j];   C_0(n)[i, i] += 1 - m(n)[i]
+
+    so `apply_stencil(C, u)` IS the masked SPD operator M K M + (I - M) —
+    identical to VoxelOperator.apply (ops/operator.py:137-139) on the free
+    subspace, with no separate mask multiplications in the hot path.
+    """
+    m = free_mask
+    nnx, nny, nnz = m.shape[:3]
+    mp = jnp.pad(m, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    shifted = jnp.stack([
+        mp[1 + ox: 1 + ox + nnx, 1 + oy: 1 + oy + nny, 1 + oz: 1 + oz + nnz]
+        for ox in _OFF for oy in _OFF for oz in _OFF
+    ]).reshape(3, 3, 3, nnx, nny, nnz, 3)
+    C = C * m[None, None, None, ..., :, None] * shifted[..., None, :]
+    eye = jnp.eye(3, dtype=C.dtype)
+    C = C.at[1, 1, 1].add((1.0 - m)[..., :, None] * eye)
+    return C
+
+
+def apply_stencil(C, u):
+    """(K u)(n) = sum_o C_o(n) @ u(n + o); u is (nnx, nny, nnz, 3)."""
+    nnx, nny, nnz = u.shape[:3]
+    up = jnp.pad(u, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for ox in _OFF:
+        for oy in _OFF:
+            for oz in _OFF:
+                us = up[1 + ox: 1 + ox + nnx,
+                        1 + oy: 1 + oy + nny,
+                        1 + oz: 1 + oz + nnz]
+                term = jnp.einsum("...ij,...j->...i",
+                                  C[ox + 1, oy + 1, oz + 1], us)
+                out = term if out is None else out + term
+    return out
+
+
+def stencil_diagonal(C):
+    """diag of the operator as a node field (nnx, nny, nnz, 3)."""
+    return jnp.einsum("...ii->...i", C[1, 1, 1])
+
+
+def stencil_row_abs_sums(C):
+    """sum_j |K_ij| per row as a node field — Gershgorin data."""
+    return jnp.sum(jnp.abs(C), axis=(0, 1, 2, -1))
+
+
+def coarsen_stencil_axis(C, axis: int):
+    """1-D Galerkin coarsening along one spatial axis.
+
+    The trilinear P factors as P = Px Py Pz, so RAP factors into three 1-D
+    RAPs.  Along one axis with fine offsets o, coarse offsets O, and fine
+    sampling positions 2N + d:
+
+        C'[O](N) = sum_{d, o : |d + o - 2O| <= 1} p1(d) p1(d+o-2O) C[o](2N+d)
+
+    The fine node count along `axis` must be odd (element count even —
+    guaranteed by the multigrid `_can_coarsen` gate).
+    """
+    sdim = 3 + axis
+    nf = C.shape[sdim]
+    if nf % 2 != 1:
+        raise ValueError(f"fine node count {nf} along axis {axis} must be odd")
+    nc = (nf - 1) // 2 + 1
+    pad_widths = [(0, 0)] * C.ndim
+    pad_widths[sdim] = (1, 1)
+    Cp = jnp.pad(C, pad_widths)
+    targets = []
+    for O in _OFF:
+        acc = None
+        for d in _OFF:
+            for o in _OFF:
+                t = d + o - 2 * O
+                if abs(t) > 1:
+                    continue
+                w = _p1(d) * _p1(t)
+                piece = lax.index_in_dim(Cp, o + 1, axis=axis, keepdims=False)
+                # spatial slice [d+1 : d+2nc : 2] along (sdim - 1) after the
+                # offset dim was dropped
+                piece = lax.slice_in_dim(piece, d + 1, d + 2 * nc, stride=2,
+                                         axis=sdim - 1)
+                term = w * piece
+                acc = term if acc is None else acc + term
+        targets.append(acc)
+    return jnp.stack(targets, axis=axis)
+
+
+def coarsen_stencil(C):
+    """Full factor-2 Galerkin coarsening: RAP along all three axes."""
+    for axis in range(3):
+        C = coarsen_stencil_axis(C, axis)
+    return C
+
+
+def level1_weights(ke) -> np.ndarray:
+    """Host-side (numpy, float64) weights G for the fused fine-scale ->
+    level-1 Galerkin stencil map:
+
+        C1_O(N) = sum_{s in {-2..1}^3} G[O, s] * E_fine(2N + s)
+
+    obtained by composing the assembly map (C0 from E) with the three-axis
+    RAP and collecting terms by the element shift s = d - a:
+
+        G[O, s] = sum_{d, o, a : d - a = s, a+o in corners, |d+o-2O| <= 1}
+                    p(d) p(d + o - 2O) KE[a, a + o]
+
+    Returns (3, 3, 3, 4, 4, 4, 3, 3): [O+1][s+2][i, j].
+    """
+    KE = ke_corner_blocks(ke)
+    G = np.zeros((3, 3, 3, 4, 4, 4, 3, 3), dtype=np.float64)
+    offs3 = [(x, y, z) for x in _OFF for y in _OFF for z in _OFF]
+    for d in offs3:
+        pd = _p1(d[0]) * _p1(d[1]) * _p1(d[2])
+        for o in offs3:
+            for a, b in _valid_corner_pairs(o):
+                blk = KE[_CORNER_INDEX[a], _CORNER_INDEX[b]]
+                s = (d[0] - a[0], d[1] - a[1], d[2] - a[2])
+                for O in offs3:
+                    t = (d[0] + o[0] - 2 * O[0],
+                         d[1] + o[1] - 2 * O[1],
+                         d[2] + o[2] - 2 * O[2])
+                    if max(abs(t[0]), abs(t[1]), abs(t[2])) > 1:
+                        continue
+                    w = pd * _p1(t[0]) * _p1(t[1]) * _p1(t[2])
+                    G[O[0] + 1, O[1] + 1, O[2] + 1,
+                      s[0] + 2, s[1] + 2, s[2] + 2] += w * blk
+    return G
+
+
+def level1_stencil_from_scale(scale, G, precision=lax.Precision.HIGHEST):
+    """Fine element moduli (nx, ny, nz) -> level-1 Galerkin stencil
+    (3, 3, 3, ncx+1, ncy+1, ncz+1, 3, 3), via ONE stride-2 4^3-kernel conv
+    (243 output channels) — MXU-friendly and O(64 * 9) FLOPs per coarse node.
+
+    G is `level1_weights(ke)`.  Fine element counts must be even.
+    """
+    nx, ny, nz = scale.shape
+    if nx % 2 or ny % 2 or nz % 2:
+        raise ValueError(f"fine element counts {scale.shape} must be even")
+    dt = scale.dtype
+    sp = jnp.pad(scale, 2)[None, ..., None]            # (1, nx+4, ny+4, nz+4, 1)
+    # kernel [s'x, s'y, s'z, in=1, oc] with s' = s + 2, oc = (O-major, i, j)
+    kern = jnp.asarray(
+        G.transpose(3, 4, 5, 0, 1, 2, 6, 7).reshape(4, 4, 4, 1, 27 * 9),
+        dtype=dt)
+    out = lax.conv_general_dilated(
+        sp, kern, window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision,
+    )[0]                                               # (ncn_x, ncn_y, ncn_z, 243)
+    ncnx, ncny, ncnz = out.shape[:3]
+    C = out.reshape(ncnx, ncny, ncnz, 3, 3, 3, 3, 3)
+    return jnp.transpose(C, (3, 4, 5, 0, 1, 2, 6, 7))
+
+
+def stencil_to_dense(C):
+    """Stencil -> dense (3n, 3n) matrix, nodes flattened in C order
+    (iz fastest) with dof = 3 * node + component.  For the multigrid
+    coarsest-level Cholesky (a few thousand dofs)."""
+    nnx, nny, nnz = C.shape[3:6]
+    n = nnx * nny * nnz
+    ids = np.arange(n).reshape(nnx, nny, nnz)
+    comp = np.arange(3)
+    K = jnp.zeros((3 * n, 3 * n), dtype=C.dtype)
+    for ox in _OFF:
+        for oy in _OFF:
+            for oz in _OFF:
+                rx = slice(max(0, -ox), nnx - max(0, ox))
+                ry = slice(max(0, -oy), nny - max(0, oy))
+                rz = slice(max(0, -oz), nnz - max(0, oz))
+                cx = slice(max(0, ox), nnx - max(0, -ox))
+                cy = slice(max(0, oy), nny - max(0, -oy))
+                cz = slice(max(0, oz), nnz - max(0, -oz))
+                rows = ids[rx, ry, rz].reshape(-1)
+                cols = ids[cx, cy, cz].reshape(-1)
+                blk = C[ox + 1, oy + 1, oz + 1][rx, ry, rz].reshape(-1, 3, 3)
+                rdof = (3 * rows[:, None, None] + comp[None, :, None])
+                cdof = (3 * cols[:, None, None] + comp[None, None, :])
+                K = K.at[rdof, cdof].add(blk)
+    return K
