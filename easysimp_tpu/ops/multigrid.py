@@ -3,16 +3,25 @@
 The reference refactorizes a sparse Cholesky every SIMP iteration
 (src/Optimization/Optimization.jl:317) — O(n^2)-ish fill-in that caps problem
 size and has no TPU mapping.  Here the voxel structure gives a natural
-geometric hierarchy: factor-2 coarsening of the element grid, SIMP moduli
-averaged over 2x2x2 children, rediscretized coarse operators (same stencil
-code at every level), trilinear prolongation with its exact adjoint as
-restriction, damped-Jacobi smoothing, and an EXACT dense Cholesky at the
-coarsest level (a few hundred to a few thousand dofs) so the V-cycle is a
-fixed symmetric positive linear operator — safe as a CG preconditioner.
+geometric hierarchy: factor-2 coarsening of the element grid, trilinear
+prolongation with its exact adjoint as restriction, Chebyshev (or damped
+Jacobi) smoothing, and an EXACT dense Cholesky at the coarsest level (a few
+hundred to a few thousand dofs) so the V-cycle is a fixed symmetric positive
+linear operator — safe as a CG preconditioner.
 
-Everything runs inside jit: per-SIMP-iteration data (coarse moduli, level
-diagonals, the coarsest dense factor) is recomputed on device from the fine
-density field; only shapes, kes, and connectivity indices are static.
+Coarse operators (galerkin=True, the default): variational Galerkin
+P^T A P stencils (ops/stencil.py) — the level-1 27-point block stencil comes
+straight from the FINE modulus field via one stride-2 conv, deeper levels by
+stencil RAP.  This is what keeps CG iteration counts flat as the SIMP
+void/solid contrast develops (up to ~1e9 with Emin=1e-9): the round-1/2
+alternative — rediscretized coarse operators with arithmetically-averaged
+moduli (galerkin=False, kept for A/B) — smears the interfaces and CG grew
+10 -> 34 iterations within 12 SIMP iterations at 128^3.
+
+Everything runs inside jit: per-SIMP-iteration data (coarse stencils or
+moduli, level diagonals, the coarsest dense factor) is recomputed on device
+from the fine density field; only shapes, kes, and connectivity indices are
+static.
 """
 
 from __future__ import annotations
@@ -23,6 +32,16 @@ import jax.numpy as jnp
 
 from ..grids import VoxelGrid
 from .operator import VoxelOperator
+from .stencil import (
+    apply_stencil,
+    coarsen_stencil,
+    fold_bc_into_stencil,
+    level1_stencil_from_scale,
+    level1_weights,
+    stencil_diagonal,
+    stencil_row_abs_sums,
+    stencil_to_dense,
+)
 
 __all__ = ["MultigridPreconditioner"]
 
@@ -89,11 +108,16 @@ class MultigridPreconditioner:
     def __init__(self, fine_op: VoxelOperator, levels: int = 0,
                  smooth_iters: int = 1, power_iters: int = 10,
                  refresh_iters: int = 2, cycle_dtype=None,
-                 smoother: str = "chebyshev"):
+                 smoother: str = "chebyshev", galerkin: bool = True,
+                 cycle: str = "v"):
         self.smooth_iters = int(smooth_iters)
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
+        if cycle not in ("v", "w"):
+            raise ValueError(f"unknown cycle type {cycle!r}")
         self.smoother = smoother
+        self.cycle = cycle
+        self.galerkin = bool(galerkin)
         # power_iters>0: estimate lambda_max by power iteration (~power_iters
         # matvecs/level); 0 uses the free Gershgorin bound, whose ~1.5-2x
         # overestimate costs CG iterations.  Measured on a realistic
@@ -136,13 +160,19 @@ class MultigridPreconditioner:
             if levels and len(self.ops) >= levels:
                 break
         self.n_levels = len(self.ops)
-        # Propagate a fused (Pallas) matvec to coarse levels where it pays
-        # (>=64-dim grids; install_fused_matvec enforces the threshold).
-        if getattr(fine_op, "_fused_matvec", None) is not None:
+        # Galerkin levels apply 27-point block stencils, not the element
+        # operator — the fused element kernel is only needed at level 0.
+        if not self.galerkin and \
+                getattr(fine_op, "_fused_matvec", None) is not None:
             from .pallas_kernels import install_fused_matvec
 
             for o in self.ops[1:]:
                 install_fused_matvec(o)
+        if self.galerkin and self.n_levels > 1:
+            # Host-precomputed fine-scale -> level-1 RAP conv weights
+            # (float64; cast at use).
+            self._G1 = level1_weights(np.asarray(fine_op.ke,
+                                                 dtype=np.float64))
         if self.cycle_dtype is not None:
             self.cycle_ops = [
                 VoxelOperator(o.grid, E0=fine_op.E0, Emin=fine_op.Emin,
@@ -157,12 +187,14 @@ class MultigridPreconditioner:
             if getattr(fine_op, "_fused_matvec", None) is not None:
                 from .pallas_kernels import install_fused_matvec
 
-                for o in self.cycle_ops:
+                lvls = [self.cycle_ops[0]] if self.galerkin else self.cycle_ops
+                for o in lvls:
                     install_fused_matvec(o)
         else:
             self.cycle_ops = self.ops
 
-        # Dense-assembly indices for the coarsest level (static).
+        # Dense-assembly indices for the coarsest level (static; used by the
+        # rediscretized galerkin=False path).
         cg = self.ops[-1].grid
         conn = cg.hex_connectivity                       # (E, 8)
         dof = (3 * conn[:, :, None] + np.arange(3)).reshape(conn.shape[0], 24)
@@ -171,31 +203,38 @@ class MultigridPreconditioner:
         self._coarse_ndofs = 3 * cg.n_nodes
 
     # ------------------------------------------------------------------
-    def _coarsest_factor(self, scale_flat, mask_flat):
-        """Dense BC-masked stiffness at the coarsest level + its Cholesky.
+    def _scaled_cholesky(self, K, mask_flat=None):
+        """Diagonally-scaled shifted Cholesky of a dense SPD matrix.
 
-        A small RELATIVE diagonal shift keeps the factorization finite when
-        the problem is positive SEMI-definite (e.g. the reference's
-        02_sliding_support load case leaves the Z translation unconstrained;
-        its own runtests disable that example).  For loads orthogonal to the
-        nullspace — the only well-posed case — the shift only perturbs the
-        preconditioner, not the CG solution.
+        Symmetric diagonal scaling BEFORE factorizing: SIMP contrast (up to
+        ~1e9 between void and solid moduli) lives almost entirely in the
+        diagonal; factoring D^-1/2 K D^-1/2 (unit diagonal) keeps the fp32
+        Cholesky finite where the raw factorization produced NaNs on TPU.
+        A small RELATIVE shift keeps it finite when the problem is positive
+        SEMI-definite (e.g. the reference's 02_sliding_support load case
+        leaves the Z translation unconstrained; its own runtests disable that
+        example).  For loads orthogonal to the nullspace — the only
+        well-posed case — the shift only perturbs the preconditioner, not
+        the CG solution.
         """
-        op = self.ops[-1]
-        vals = (scale_flat[:, None, None] * op.ke[None]).reshape(-1)
-        n = self._coarse_ndofs
-        K = jnp.zeros((n, n), dtype=self.dtype).at[self._rows, self._cols].add(vals)
-        K = mask_flat[:, None] * K * mask_flat[None, :]
-        K = K + jnp.diag(1.0 - mask_flat)
-        # Symmetric diagonal scaling BEFORE factorizing: SIMP contrast (up to
-        # ~1e9 between void and solid moduli) lives almost entirely in the
-        # diagonal; factoring D^-1/2 K D^-1/2 (unit diagonal) keeps the fp32
-        # Cholesky finite where the raw factorization produced NaNs on TPU.
+        n = K.shape[0]
+        if mask_flat is not None:
+            K = mask_flat[:, None] * K * mask_flat[None, :]
+            K = K + jnp.diag(1.0 - mask_flat)
         dinv_sqrt = 1.0 / jnp.sqrt(jnp.diagonal(K))
         Ks = K * dinv_sqrt[:, None] * dinv_sqrt[None, :]
         shift = 100.0 * jnp.finfo(self.dtype).eps
         Ks = Ks + shift * jnp.eye(n, dtype=self.dtype)
         return jax.scipy.linalg.cho_factor(Ks), dinv_sqrt
+
+    def _coarsest_factor(self, scale_flat, mask_flat):
+        """Dense BC-masked stiffness at the coarsest level + its Cholesky
+        (rediscretized path)."""
+        op = self.ops[-1]
+        vals = (scale_flat[:, None, None] * op.ke[None]).reshape(-1)
+        n = self._coarse_ndofs
+        K = jnp.zeros((n, n), dtype=self.dtype).at[self._rows, self._cols].add(vals)
+        return self._scaled_cholesky(K, mask_flat)
 
     def _hash_vector(self, lvl):
         """Deterministic pseudo-random start with broad spectral content.
@@ -212,17 +251,16 @@ class MultigridPreconditioner:
         """Per-level start vectors for the carried power-iteration state."""
         return tuple(self._hash_vector(lvl) for lvl in range(self.n_levels))
 
-    def _estimate_lambda_max(self, lvl, scale, mask, diag, v, iters):
+    def _estimate_lambda_max(self, apply_fn, mask, diag, v, iters):
         """Power iteration on D^{-1} A (same spectrum as the symmetrized
         operator), warm-started from v.  The estimate feeds a fixed per-setup
         omega, so the resulting smoother — and hence M — stays LINEAR in the
         residual.  Returns (lam, final_normalized_vector)."""
-        op = self.ops[lvl]
         tiny = jnp.finfo(self.dtype).tiny
         v = v * mask
         lam = jnp.asarray(1.0, self.dtype)
         for _ in range(iters):
-            w = op.apply(v, scale, mask) / diag
+            w = apply_fn(v) / diag
             lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v), tiny))
             v = w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), tiny)
         return lam, v
@@ -234,23 +272,49 @@ class MultigridPreconditioner:
             masks.append(coarsen_mask(masks[-1]))
         return scales, masks
 
+    def _build_stencils(self, scale, masks):
+        """Galerkin stencil per level >= 1 (None at level 0: the fine level
+        smooths with the element operator / fused Pallas kernel)."""
+        stencils = [None] * self.n_levels
+        if not self.galerkin or self.n_levels < 2:
+            return stencils
+        S1 = level1_stencil_from_scale(scale, self._G1)
+        stencils[1] = fold_bc_into_stencil(S1, masks[1])
+        for lvl in range(2, self.n_levels):
+            stencils[lvl] = coarsen_stencil(stencils[lvl - 1])
+        return stencils
+
+    def _level_apply(self, lvl, scales, masks, stencils):
+        """The level-`lvl` operator action used during SETUP (power
+        iteration); cycle-time applies read from `state` via _apply_level."""
+        if stencils[lvl] is not None:
+            return lambda v: apply_stencil(stencils[lvl], v)
+        op = self.ops[lvl]
+        return lambda v: op.apply(v, scales[lvl], masks[lvl])
+
     def power_init(self, scale, free_mask):
         """Full (cold) power estimation on all levels; returns the converged
         vectors for the drivers to carry through the SIMP iterations.  Run
         ONCE before the loop (one small jitted program)."""
         scales, masks = self._coarsen_fields(scale, free_mask)
+        stencils = self._build_stencils(scale, masks)
         vecs = []
         for lvl in range(self.n_levels):
-            diag = self.ops[lvl].diagonal(scales[lvl], masks[lvl])
+            diag = self._level_diag(lvl, scales, masks, stencils)
             _, v = self._estimate_lambda_max(
-                lvl, scales[lvl], masks[lvl], diag, self._hash_vector(lvl),
-                self.power_iters)
+                self._level_apply(lvl, scales, masks, stencils), masks[lvl],
+                diag, self._hash_vector(lvl), self.power_iters)
             vecs.append(v)
         return tuple(vecs)
 
+    def _level_diag(self, lvl, scales, masks, stencils):
+        if stencils[lvl] is not None:
+            return stencil_diagonal(stencils[lvl])
+        return self.ops[lvl].diagonal(scales[lvl], masks[lvl])
+
     def setup(self, scale, free_mask, power_vectors=None):
-        """Per-SIMP-iteration setup (inside jit): level moduli, masks,
-        diagonals, smoother weights, coarsest factorization.
+        """Per-SIMP-iteration setup (inside jit): level moduli/stencils,
+        masks, diagonals, smoother weights, coarsest factorization.
 
         power_vectors: carried per-level power-iteration state (see
         stateful_factory) — refreshed with `refresh_iters` iterations and a
@@ -265,19 +329,24 @@ class MultigridPreconditioner:
         iters = self.power_iters if cold else self.refresh_iters
         headroom = 1.05 if cold else 1.1
         scales, masks = self._coarsen_fields(scale, free_mask)
+        stencils = self._build_stencils(scale, masks)
         diags, omegas, lams, new_vecs = [], [], [], []
         for lvl in range(self.n_levels):
-            diag = self.ops[lvl].diagonal(scales[lvl], masks[lvl])
+            diag = self._level_diag(lvl, scales, masks, stencils)
             diags.append(diag)
+            apply_fn = self._level_apply(lvl, scales, masks, stencils)
             if self.power_iters > 0:
                 lam, v = self._estimate_lambda_max(
-                    lvl, scales[lvl], masks[lvl], diag, power_vectors[lvl],
-                    iters)
+                    apply_fn, masks[lvl], diag, power_vectors[lvl], iters)
                 lam = headroom * lam
                 new_vecs.append(v)
             else:
                 # Gershgorin: lam_max(D^-1 A) <= max_i rowabs_i / diag_i.
-                rowabs = self.ops[lvl].row_abs_sums(scales[lvl], masks[lvl])
+                if stencils[lvl] is not None:
+                    rowabs = stencil_row_abs_sums(stencils[lvl])
+                else:
+                    rowabs = self.ops[lvl].row_abs_sums(scales[lvl],
+                                                        masks[lvl])
                 lam = jnp.max(rowabs / diag)
                 new_vecs.append(power_vectors[lvl])
             lams.append(lam)
@@ -285,14 +354,20 @@ class MultigridPreconditioner:
             # at the true lam_max, |1 - w*lam| < 1 everywhere below the bound.
             omegas.append(4.0 / (3.0 * lam))
 
-        cg = self.ops[-1].grid
-        # x-fastest flattening to match hex_connectivity numbering
-        scale_flat = scales[-1].transpose(2, 1, 0).reshape(-1)
-        mask_flat = masks[-1].transpose(2, 1, 0, 3).reshape(-1)
-        cho = self._coarsest_factor(scale_flat, mask_flat)
+        if stencils[-1] is not None:
+            # Galerkin coarsest: dense from the (already BC-folded) stencil;
+            # vectors flatten in natural C order (stencil_to_dense layout).
+            cho = self._scaled_cholesky(stencil_to_dense(stencils[-1]))
+            mask_flat = None
+        else:
+            cg = self.ops[-1].grid
+            # x-fastest flattening to match hex_connectivity numbering
+            scale_flat = scales[-1].transpose(2, 1, 0).reshape(-1)
+            mask_flat = masks[-1].transpose(2, 1, 0, 3).reshape(-1)
+            cho = self._coarsest_factor(scale_flat, mask_flat)
         state = {"scales": scales, "masks": masks, "diags": diags,
                  "omegas": omegas, "lams": lams, "cho": cho,
-                 "mask_flat": mask_flat}
+                 "mask_flat": mask_flat, "stencils": stencils}
         if self.cycle_dtype is not None:
             lp = self.cycle_dtype
             state["scales"] = [s.astype(lp) for s in scales]
@@ -300,25 +375,33 @@ class MultigridPreconditioner:
             state["diags"] = [d.astype(lp) for d in diags]
             state["omegas"] = [o.astype(lp) for o in omegas]
             state["lams"] = [l.astype(lp) for l in lams]
+            state["stencils"] = [None if s is None else s.astype(lp)
+                                 for s in stencils]
         return state, tuple(new_vecs)
 
     # ------------------------------------------------------------------
+    def _apply_level(self, lvl, state, v):
+        """Cycle-time operator action at `lvl` (stencil or element-based)."""
+        st = state["stencils"][lvl]
+        if st is not None:
+            return apply_stencil(st, v)
+        op = self.cycle_ops[lvl]
+        return op.apply(v, state["scales"][lvl], state["masks"][lvl])
+
     def _smooth(self, lvl, state, r, x, iters):
         """Smoothing sweeps: damped Jacobi or a degree-`iters` Chebyshev
-        polynomial in D^-1 A over [lam_max/4, lam_max].
+        polynomial in D^-1 A over [lam_max/6, lam_max].
 
         Chebyshev gets markedly better high-frequency damping per matvec and
         degrades gracefully when lam_max is the (over-estimating) Gershgorin
         bound; same matvec count per application as Jacobi.  Equal pre/post
         applications keep the V-cycle a symmetric preconditioner.
         """
-        op = self.cycle_ops[lvl]
-        scale, mask, diag = (state["scales"][lvl], state["masks"][lvl],
-                             state["diags"][lvl])
+        diag = state["diags"][lvl]
         if self.smoother == "jacobi":
             omega = state["omegas"][lvl]
             for _ in range(iters):
-                x = x + omega * (r - op.apply(x, scale, mask)) / diag
+                x = x + omega * (r - self._apply_level(lvl, state, x)) / diag
             return x
 
         # Chebyshev (standard three-term recurrence, e.g. Adams et al. 2003).
@@ -331,13 +414,13 @@ class MultigridPreconditioner:
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
         sigma = theta / delta
-        res = r - op.apply(x, scale, mask)
+        res = r - self._apply_level(lvl, state, x)
         d = (res / diag) / theta
         x = x + d
         rho_old = 1.0 / sigma
         for _ in range(1, iters):
             rho = 1.0 / (2.0 * sigma - rho_old)
-            res = r - op.apply(x, scale, mask)
+            res = r - self._apply_level(lvl, state, x)
             d = (rho * rho_old) * d + (2.0 * rho / delta) * (res / diag)
             x = x + d
             rho_old = rho
@@ -345,8 +428,16 @@ class MultigridPreconditioner:
 
     def _vcycle(self, lvl, state, r):
         if lvl == self.n_levels - 1:
-            cgrid = self.ops[-1].grid
             cho, dinv_sqrt = state["cho"]
+            if state["stencils"][-1] is not None:
+                # Galerkin coarsest: natural C-order flattening, BC folding
+                # already inside the dense matrix.
+                r_flat = r.astype(self.dtype).reshape(-1)
+                x_flat = dinv_sqrt * jax.scipy.linalg.cho_solve(
+                    cho, dinv_sqrt * r_flat)
+                out = x_flat.reshape(r.shape) * state["masks"][-1]
+                return out.astype(r.dtype)
+            cgrid = self.ops[-1].grid
             r_flat = r.astype(self.dtype).transpose(2, 1, 0, 3).reshape(-1) \
                 * state["mask_flat"]
             # Undo the symmetric diagonal scaling: K^-1 = D^-1/2 Ks^-1 D^-1/2
@@ -357,13 +448,19 @@ class MultigridPreconditioner:
             out = x_flat.reshape(nnz, nny, nnx, 3).transpose(2, 1, 0, 3)
             return out.astype(r.dtype)
 
-        op = self.cycle_ops[lvl]
-        scale, mask = state["scales"][lvl], state["masks"][lvl]
+        mask = state["masks"][lvl]
         x = jnp.zeros_like(r)
         x = self._smooth(lvl, state, r, x, self.smooth_iters)
-        res = r - op.apply(x, scale, mask)
+        res = r - self._apply_level(lvl, state, x)
         rc = state["masks"][lvl + 1] * restrict(res)
         xc = self._vcycle(lvl + 1, state, rc)
+        if self.cycle == "w" and lvl + 1 < self.n_levels - 1:
+            # W-cycle (gamma=2): a second coarse-grid visit on the updated
+            # residual.  Extra work lands on levels >= 1 only (1/8 the nodes
+            # each), where the Galerkin stencil applies are HBM-cheap next to
+            # the fine-level matvecs.
+            rc2 = rc - self._apply_level(lvl + 1, state, xc)
+            xc = xc + self._vcycle(lvl + 1, state, rc2)
         x = x + mask * prolong(xc)
         x = self._smooth(lvl, state, r, x, self.smooth_iters)
         return x

@@ -94,7 +94,8 @@ def _build_preconditioner(op, params):
             if params.mg_cycle_dtype else None
         mg = MultigridPreconditioner(
             op, levels=params.mg_levels, smooth_iters=params.mg_smooth_iters,
-            cycle_dtype=cycle_dtype,
+            cycle_dtype=cycle_dtype, galerkin=params.mg_galerkin,
+            cycle=params.mg_cycle,
         )
         if mg.n_levels > 1:
             return (mg.stateful_factory(), mg.init_power_vectors(),

@@ -56,6 +56,13 @@ class OptimizationParameters:
     mg_smooth_iters: int = 1            # Chebyshev degree / Jacobi sweeps
     mg_cycle_dtype: str = ""            # "" = operator dtype; "bfloat16" runs
                                         # the V-cycle interior in bf16
+    mg_galerkin: bool = True            # variational P^T A P coarse stencils
+                                        # (contrast-robust); False = round-1/2
+                                        # rediscretized mean-modulus coarsening
+    mg_cycle: str = "w"                 # "w" | "v"; W-cycle re-visits coarse
+                                        # levels (extra work on levels >= 1
+                                        # only) — measured 22% fewer fine
+                                        # matvecs than V at equal tolerance
     use_pallas_matvec: bool = True      # fused Pallas stencil matvec (5.9x
                                         # faster than the XLA chain at 128^3);
                                         # engaged on the TPU backend for grids
