@@ -166,8 +166,10 @@ _CELLSET_KEYS = ("CellEntityIds", "element_ids", "gmsh:physical", "ElementId")
 
 # VTK code -> (nodes per cell, cell_type) — the same codes the reference
 # importer accepts (MeshImport.jl:72-90: tet=10, hex=12, tri=5, quad=9,
-# line=3).  Volume types win ties so a results VTU with boundary skins
-# still imports as its volume mesh.
+# line=3).  The dominant (most numerous) cell type wins, with volume types
+# breaking EXACT ties only — reference argmax(cell_counts) parity — so a
+# thin volume mesh whose surface skin outnumbers its volume cells still
+# imports as the skin, exactly as the reference would.
 _VTU_CELL_TYPES = {10: (4, "tet4"), 12: (8, "hex8"), 5: (3, "tri3"),
                    9: (4, "quad4"), 3: (2, "line2")}
 

@@ -206,7 +206,6 @@ class TwoLevelAMG:
             w = self.op.apply_block_jacobi(Binv, A(v))
             return w / jnp.linalg.norm(w)
 
-        n = free_mask.shape[0] if free_mask.ndim == 1 else 3 * self.n_nodes
         v0 = free_mask.reshape(-1)
         v0 = v0 / jnp.linalg.norm(v0)
         v = jax.lax.fori_loop(0, self.power_iters, body, v0)

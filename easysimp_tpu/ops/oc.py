@@ -128,17 +128,22 @@ def oc_update(
 
     K = 2 ** _STEPS_PER_PASS - 1
     if volume_weights is not None:
-        w_flat = jnp.broadcast_to(
-            jnp.asarray(volume_weights, dtype), shape).reshape(-1)
-        qf, lof, hif = q.reshape(-1), lo_e.reshape(-1), hi_e.reshape(-1)
+        w_b = jnp.broadcast_to(jnp.asarray(volume_weights, dtype), shape)
+        # Keep the element fields in their NATIVE shape (3-D on the voxel
+        # path): flattening to (K, N) broke GSPMD propagation of the
+        # ("x","y","z") cell sharding and forced the whole bisection loop
+        # replicated on every device (round-3 HLO audit).  tensordot over all
+        # field axes is the same MXU contraction with shardable operands.
+        bcast = (slice(None),) + (None,) * q.ndim
 
         def volume_errors(lams):
-            # (K, N) candidates contracted against w on the MXU; XLA fuses
-            # the clip into the operand, one pass over the element fields.
-            cand = jnp.clip(qf[None, :] * lams[:, None] ** (-d_exp),
-                            lof[None, :], hif[None, :])
-            return jnp.dot(cand, w_flat,
-                           precision=jax.lax.Precision.HIGHEST) - target_volume
+            # (K, *shape) candidates contracted against w; XLA fuses the
+            # clip into the operand, one pass over the element fields.
+            cand = jnp.clip(q[None] * lams[bcast] ** (-d_exp),
+                            lo_e[None], hi_e[None])
+            return jnp.tensordot(cand, w_b, axes=q.ndim,
+                                 precision=jax.lax.Precision.HIGHEST) \
+                - target_volume
     else:
         if apply_physical is None:
             apply_physical = lambda x: x

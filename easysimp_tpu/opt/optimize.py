@@ -32,7 +32,12 @@ from ..grids import VoxelGrid
 from ..loads import build_load_field, voxel_body_force
 from ..ops.cg import cg_solve
 from ..ops.filters import create_filter_cache
-from ..ops.oc import host_median_abs, oc_update, sensitivity_health
+from ..ops.oc import (
+    MAX_BISECTION,
+    host_median_abs,
+    oc_update,
+    sensitivity_health,
+)
 from ..ops.operator import VoxelOperator
 from ..params import OptimizationParameters, OptimizationResult
 from ..utils.terminal import (
@@ -150,6 +155,10 @@ class VoxelStep:
     # preconditioner carries no state).
     pvecs0: tuple = ()
     power_init: Callable | None = None
+    # Under a device mesh, node fields are stored PADDED to mesh-divisible
+    # shapes (distributed storage); crop_node slices a padded node field back
+    # to the exact (nnx, nny, nnz, 3) shape.  Identity when mesh is None.
+    crop_node: Callable = staticmethod(lambda a: a)
 
     # field order returned by `step`.  The convergence/diagnostic reductions
     # live in the separate `metrics` program: compiling them into the same
@@ -207,10 +216,15 @@ def build_voxel_step(grid, loads, boundary_conditions,
                 else vol_sens_physical)
 
     design0 = jnp.full(grid.nels, params.volume_fraction, dtype=dtype)
-    u0 = jnp.zeros((*grid.nnodes_per_axis, 3), dtype=dtype)
+    u0_exact = jnp.zeros((*grid.nnodes_per_axis, 3), dtype=dtype)
+    u0 = u0_exact
     if mesh is not None:
         from ..parallel.sharding import shard_voxel_state
 
+        # Node fields are PADDED to mesh-divisible shapes and sharded
+        # (distributed storage; see parallel/sharding.py node_sharding) —
+        # the step wrappers below slice back to exact node shapes at entry
+        # and re-pad their node outputs.
         (design0, vol_sens), (u0, free_mask, f_ext) = shard_voxel_state(
             mesh, cell_fields=(design0, vol_sens),
             node_fields=(u0, free_mask, f_ext),
@@ -267,10 +281,14 @@ def build_voxel_step(grid, loads, boundary_conditions,
         )
         return new_design, lam, bisect_iters, bisect_verr, fsens
 
-    def step(design, u_prev, pvecs, f_ext, free_mask, vsens):
-        (phys, u, energy, volume, cg_iters, cg_res, new_pvecs) = step_solve(
+    def step(design, u_prev, pvecs, f_ext, free_mask, vsens,
+             # def-time binding: under a device mesh the module-level names
+             # are rebound to pad/crop WRAPPERS below; the one-program
+             # composition must keep calling the exact-shape inner parts.
+             _solve=step_solve, _update=step_update):
+        (phys, u, energy, volume, cg_iters, cg_res, new_pvecs) = _solve(
             design, u_prev, pvecs, f_ext, free_mask)
-        new_design, lam, bisect_iters, bisect_verr, fsens = step_update(
+        new_design, lam, bisect_iters, bisect_verr, fsens = _update(
             design, phys, u, vsens)
         return (new_design, u, phys, energy, volume, lam, cg_iters,
                 cg_res, bisect_iters, bisect_verr, fsens,
@@ -287,9 +305,55 @@ def build_voxel_step(grid, loads, boundary_conditions,
 
     def solve_only(design, pvecs, f_ext, free_mask, vsens):
         """Final analysis (Optimization.jl:494-539): re-filter + re-solve."""
-        phys, sol, energy, _, _ = forward(design, jnp.zeros_like(u0), pvecs,
-                                          f_ext, free_mask)
+        phys, sol, energy, _, _ = forward(design, jnp.zeros_like(u0_exact),
+                                          pvecs, f_ext, free_mask)
         return phys, sol.u, energy
+
+    crop_node = lambda a: a
+    if mesh is not None:
+        from ..parallel.sharding import node_padded_shape, node_sharding
+
+        nnx, nny, nnz = grid.nnodes_per_axis
+        pshape = node_padded_shape(mesh, grid.nnodes_per_axis)
+        nsh = node_sharding(mesh)
+
+        def _crop(a):
+            return a[:nnx, :nny, :nnz]
+
+        def _pad(a):
+            out = jnp.pad(a, [(0, p - s) for p, s in
+                              zip(pshape, (nnx, nny, nnz))] + [(0, 0)])
+            # keep the at-rest layout distributed across iterations (the
+            # constraint stops GSPMD from all-gathering the step outputs)
+            return jax.lax.with_sharding_constraint(out, nsh)
+
+        crop_node = _crop
+        in_solve, in_update, in_step = step_solve, step_update, step
+        in_metrics, in_solve_only, in_power = metrics, solve_only, power_init
+
+        def step_solve(design, u_prev, pvecs, f_ext, free_mask):
+            o = in_solve(design, _crop(u_prev), pvecs, _crop(f_ext),
+                         _crop(free_mask))
+            return (o[0], _pad(o[1]), *o[2:])
+
+        def step_update(design, phys, u, vsens):
+            return in_update(design, phys, _crop(u), vsens)
+
+        def step(design, u_prev, pvecs, f_ext, free_mask, vsens):
+            o = in_step(design, _crop(u_prev), pvecs, _crop(f_ext),
+                        _crop(free_mask), vsens)
+            return (o[0], _pad(o[1]), *o[2:])
+
+        def metrics(new_design, design, phys, u, fsens):
+            return in_metrics(new_design, design, phys, _crop(u), fsens)
+
+        def solve_only(design, pvecs, f_ext, free_mask, vsens):
+            o = in_solve_only(design, pvecs, _crop(f_ext), _crop(free_mask),
+                              vsens)
+            return (o[0], _pad(o[1]), *o[2:])
+
+        def power_init(design, free_mask):
+            return in_power(design, _crop(free_mask))
 
     return VoxelStep(
         grid=grid, op=op, filt=filt, step=step, step_solve=step_solve,
@@ -299,6 +363,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
         total_volume=total_volume, dtype=dtype,
         use_density_filter=use_density_filter, pvecs0=pvecs0,
         power_init=power_init if mg_power_init is not None else None,
+        crop_node=crop_node,
     )
 
 
@@ -314,19 +379,32 @@ def simp_optimize(grid, loads, boundary_conditions,
       params: OptimizationParameters.
       acceleration_data: optional (acceleration_vector, base_density) for
         variable-density body forces (Optimization.jl:195-198, 301-311).
-      mesh: optional jax.sharding.Mesh ("x","y","z") — domain-decomposes the
-        voxel grid over devices; XLA/GSPMD inserts ICI halo exchanges for the
-        stencil and filter ops and psums for the CG reductions.
+      mesh: optional jax.sharding.Mesh.  Voxel grids take an ("x","y","z")
+        mesh (parallel.sharding.make_mesh) — spatial domain decomposition
+        with XLA/GSPMD-inserted ICI halo exchanges and psum reductions,
+        node fields stored padded + distributed.  UnstructuredMesh input
+        takes a 1-axis ("e",) mesh (parallel.sharding.make_element_mesh) —
+        element-parallel decomposition.  Axis names are validated up front.
       resume_from: optional checkpoint path (see opt/checkpoint.py) —
         restores design/displacements/iteration/histories and continues.
     """
     if not isinstance(grid, VoxelGrid):
+        if mesh is not None and tuple(mesh.axis_names) != ("e",):
+            raise ValueError(
+                f"unstructured meshes need a 1-axis ('e',) element device "
+                f"mesh (parallel.sharding.make_element_mesh), got axes "
+                f"{tuple(mesh.axis_names)}")
         from .optimize_unstructured import simp_optimize_unstructured
 
         return simp_optimize_unstructured(
             grid, loads, boundary_conditions, params, acceleration_data,
             resume_from=resume_from, device_mesh=mesh,
         )
+    if mesh is not None and tuple(mesh.axis_names) != ("x", "y", "z"):
+        raise ValueError(
+            f"voxel grids need an ('x','y','z') device mesh "
+            f"(parallel.sharding.make_mesh), got axes "
+            f"{tuple(mesh.axis_names)}")
 
     print_info("Starting SIMP topology optimization (voxel path)")
 
@@ -366,6 +444,12 @@ def simp_optimize(grid, loads, boundary_conditions,
         state = load_checkpoint(resume_from)
         design = jnp.asarray(state["design"], dtype=vs.dtype)
         u = jnp.asarray(state["u"], dtype=vs.dtype)
+        if mesh is not None:
+            # checkpoints store exact node shapes; re-pad + re-shard
+            from ..parallel.sharding import shard_voxel_state
+
+            (design,), (u,) = shard_voxel_state(
+                mesh, cell_fields=(design,), node_fields=(u,))
         start_iteration = state["iteration"] + 1
         energy_history = state["energy_history"]
         volume_history = state["volume_history"]
@@ -401,7 +485,8 @@ def simp_optimize(grid, loads, boundary_conditions,
 
             save_checkpoint(
                 params.checkpoint_path,
-                design=np.asarray(design), u=np.asarray(u), iteration=it,
+                design=np.asarray(design), u=np.asarray(vs.crop_node(u)),
+                iteration=it,
                 energy_history=energy_history, volume_history=volume_history,
                 change_history=change_history, cg_history=cg_history,
                 checkpoint_triggered=checkpoint_triggered,
@@ -454,12 +539,16 @@ def simp_optimize(grid, loads, boundary_conditions,
             warned_health = _warn_sensitivity_health(
                 float(frac_neg), float(max_abs), fsens)
 
-        # OC bisection non-convergence warning (OptimalityCriteria.jl:139-142).
-        # Warned once, not per iteration: in fp32 at multi-million-cell grids
-        # the 1e-6 ABSOLUTE tolerance sits below the rounding of the volume
-        # reduction itself, so the bisection always terminates on interval
-        # collapse instead (with the volume met to fp32 precision).
-        if not warned_bisection and abs(float(bisect_verr)) >= 1e-6:
+        # OC bisection non-convergence warning, gated EXACTLY like the
+        # reference: only when all 200 bisection iterations exhaust without
+        # meeting the tolerance (OptimalityCriteria.jl:139-142).  Interval
+        # collapse before 200 — the usual fp32 exit at multi-million-cell
+        # grids, where the 1e-6 ABSOLUTE tolerance sits below the rounding
+        # of the volume reduction itself — produces the same densities the
+        # reference would after idling to 200, and stays silent like the
+        # tolerance-met exit.  (Still warn-once, deviation 4.)
+        if not warned_bisection and int(bisect_iters) >= MAX_BISECTION \
+                and abs(float(bisect_verr)) >= 1e-6:
             print_warning(
                 f"OC bisection did not converge after {int(bisect_iters)} "
                 f"iterations (|volume error| = {abs(float(bisect_verr)):.3e})"
@@ -485,8 +574,8 @@ def simp_optimize(grid, loads, boundary_conditions,
                     print_info(
                         f"Tolerance checkpoint {cp} reached at iteration {it}")
                     _export_intermediate(
-                        grid, op, params, phys, u, energy, volume, it,
-                        energy_history, volume_history,
+                        grid, op, params, phys, vs.crop_node(u), energy,
+                        volume, it, energy_history, volume_history,
                         name=f"final_results_{int(round(cp * 100)):02d}tol",
                     )
 
@@ -495,7 +584,7 @@ def simp_optimize(grid, loads, boundary_conditions,
                 and it % params.export_interval == 0
                 and params.export_path):
             _export_intermediate(
-                grid, op, params, phys, u, energy, volume, it,
+                grid, op, params, phys, vs.crop_node(u), energy, volume, it,
                 energy_history, volume_history, name=f"iter_{it:04d}",
             )
 
@@ -511,6 +600,7 @@ def simp_optimize(grid, loads, boundary_conditions,
 
     # ----- final analysis (Optimization.jl:494-539) -----------------------------
     phys, u, final_energy = solve_jit(design, pvecs, *vs.step_args)
+    u = vs.crop_node(u)
     final_energy = float(final_energy)
     final_volume = float(jnp.sum(phys)) * elem_vol
 

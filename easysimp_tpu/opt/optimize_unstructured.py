@@ -21,7 +21,7 @@ from ..loads import build_load_field
 from ..ops.cg import cg_solve
 from ..ops.elements import element_stiffness_batch_np, shape_integrals_batch_np
 from ..ops.filters import UnstructuredFilter
-from ..ops.oc import oc_update, sensitivity_health
+from ..ops.oc import MAX_BISECTION, oc_update, sensitivity_health
 from ..ops.operator import UnstructuredOperator
 from ..params import OptimizationParameters, OptimizationResult
 from ..utils.terminal import (
@@ -294,8 +294,10 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
             warned_health = _warn_sensitivity_health(
                 float(frac_neg), float(max_abs), fsens)
 
-        # OC bisection non-convergence warning (OptimalityCriteria.jl:139-142)
-        if not warned_bisection and abs(float(bisect_verr)) >= 1e-6:
+        # OC bisection non-convergence warning, gated like the reference:
+        # only when 200 iterations exhaust (OptimalityCriteria.jl:139-142)
+        if not warned_bisection and int(bisect_iters) >= MAX_BISECTION \
+                and abs(float(bisect_verr)) >= 1e-6:
             print_warning(
                 f"OC bisection did not converge after {int(bisect_iters)} "
                 f"iterations (|volume error| = {abs(float(bisect_verr)):.3e})"

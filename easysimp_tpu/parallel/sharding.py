@@ -28,6 +28,8 @@ __all__ = [
     "replicated_sharding",
     "cell_sharding",
     "node_sharding",
+    "node_padded_shape",
+    "pad_node_field",
     "shard_voxel_state",
     "best_mesh_shape",
 ]
@@ -90,29 +92,51 @@ def cell_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def node_sharding(mesh: Mesh) -> NamedSharding:
-    """Placement for (nnx, nny, nnz, 3) node fields (u, f, masks).
+    """Sharding for PADDED (pnx, pny, pnz, 3) node fields (u, f, masks).
 
     Node grids have nels+1 entries per axis — never divisible by the mesh —
-    and explicit uneven input shardings are rejected by jit/device_put.  Node
-    inputs therefore enter mesh-replicated; GSPMD propagates partitioning from
-    the sharded CELL fields into the heavy cell-aligned intermediates (the
-    gathered (nx,ny,nz,24) arrays and the element matmul), inserting halo
-    exchanges where the stencil slices cross shard boundaries.  The planned
-    shard_map + ppermute halo path will give node fields true distributed
-    storage.
+    and explicit uneven input shardings are rejected by jit/device_put.
+    Distributed node storage therefore pads each spatial axis up to the next
+    multiple of its mesh-axis size (`node_padded_shape`; pad rows are zeros
+    and stay zero — the step functions slice back to the exact node shape at
+    entry and re-pad outputs).  Each device then holds ~1/n of every
+    persistent node field, and GSPMD starts from already-sharded operands
+    instead of all-gathering replicated inputs each step.
     """
-    return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(*_AXES, None))
+
+
+def node_padded_shape(mesh: Mesh, nnodes_per_axis):
+    """Smallest per-axis node counts divisible by the mesh axis sizes."""
+    out = []
+    for ax, n in zip(_AXES, nnodes_per_axis):
+        d = mesh.shape[ax]
+        out.append(((n + d - 1) // d) * d)
+    return tuple(out)
+
+
+def pad_node_field(a, padded_shape):
+    """Zero-pad an exact (nnx, nny, nnz, C) node field to `padded_shape`."""
+    import jax.numpy as jnp
+
+    pads = [(0, p - s) for p, s in zip(padded_shape, a.shape[:3])]
+    return jnp.pad(a, pads + [(0, 0)])
 
 
 def shard_voxel_state(mesh: Mesh, *, cell_fields=(), node_fields=()):
     """device_put the given fields with the canonical shardings.
 
-    Returns (sharded_cell_fields, sharded_node_fields) tuples in input order.
+    Node fields are zero-PADDED to `node_padded_shape` so their storage is
+    truly distributed (see `node_sharding`).  Returns
+    (sharded_cell_fields, sharded_node_fields) tuples in input order.
     """
     cs, ns = cell_sharding(mesh), node_sharding(mesh)
     cells = tuple(jax.device_put(a, cs) for a in cell_fields)
-    nodes = tuple(jax.device_put(a, ns) for a in node_fields)
-    return cells, nodes
+    nodes = []
+    for a in node_fields:
+        pshape = node_padded_shape(mesh, a.shape[:3])
+        nodes.append(jax.device_put(pad_node_field(a, pshape), ns))
+    return cells, tuple(nodes)
 
 
 # ---------------------------------------------------------------------------

@@ -58,9 +58,13 @@ def test_sharded_matvec_matches_unsharded(devices):
     scale = op.youngs_modulus(rho)
     want = np.asarray(op.apply(u, scale, mask))
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     mesh = make_mesh(8, shape=(8, 1, 1), devices=devices)
-    u_s = jax.device_put(u, node_sharding(mesh))
-    mask_s = jax.device_put(mask, node_sharding(mesh))
+    # raw (unpadded) node fields can only enter replicated; GSPMD still
+    # shards the heavy cell-aligned intermediates from the cell sharding
+    u_s = jax.device_put(u, NamedSharding(mesh, P()))
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P()))
     scale_s = jax.device_put(scale, cell_sharding(mesh))
     got = jax.jit(op.apply)(u_s, scale_s, mask_s)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12, atol=1e-12)
@@ -84,10 +88,12 @@ def test_sharded_step_matches_unsharded(devices, shape):
     pv = jax.jit(vs.power_init)(vs.design0, vs.step_args[1])
     out = jax.jit(vs.step)(vs.design0, vs.u0, pv, *vs.step_args)
 
-    # new_design, u, phys identical; scalars identical
+    # new_design, u, phys identical; scalars identical.  Node fields are
+    # stored PADDED to mesh-divisible shapes — crop before comparing.
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref_out[0]),
                                rtol=1e-9, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref_out[1]),
+    np.testing.assert_allclose(np.asarray(vs.crop_node(out[1])),
+                               np.asarray(ref_out[1]),
                                rtol=1e-7, atol=1e-9)
     assert np.isclose(float(out[3]), float(ref_out[3]), rtol=1e-9)   # energy
     assert np.isclose(float(out[4]), float(ref_out[4]), rtol=1e-12)  # volume
@@ -210,3 +216,32 @@ def test_make_element_mesh_divisibility():
     assert make_element_mesh(16490, devices=devs).devices.size == 5
     assert make_element_mesh(36552, devices=devs).devices.size == 8
     assert make_element_mesh(7, n_devices=4, devices=devs).devices.size == 1
+
+
+def test_node_fields_distributed_storage(devices):
+    """Distributed node storage (round-3): u/f/mask enter PADDED to
+    mesh-divisible shapes and sharded, each device holding ~1/8; the step's
+    node output keeps the distributed layout across iterations instead of
+    all-gathering (round-2 VERDICT item 3)."""
+    grid, bc, load = _problem((16, 8, 8))
+    params = et.OptimizationParameters(
+        E0=100.0, Emin=1e-6, volume_fraction=0.4, filter_radius=1.5,
+        dtype="float64", cg_rtol=1e-8)
+    mesh = make_mesh(8, shape=(8, 1, 1), devices=devices)
+    vs = build_voxel_step(grid, [load], [bc], params, mesh=mesh)
+
+    # (17, 9, 9, 3) exact -> (24, 9, 9, 3) padded, x-sharded 8 ways
+    assert vs.u0.shape == (24, 9, 9, 3)
+    for a in (vs.u0, vs.step_args[0], vs.step_args[1]):  # u, f, mask
+        assert not a.sharding.is_fully_replicated
+        assert a.addressable_shards[0].data.shape == (3, 9, 9, 3)
+
+    pv = jax.jit(vs.power_init)(vs.design0, vs.step_args[1])
+    out = jax.jit(vs.step)(vs.design0, vs.u0, pv, *vs.step_args)
+    u_out = out[1]
+    assert u_out.shape == vs.u0.shape
+    assert not u_out.sharding.is_fully_replicated, \
+        "step output u was all-gathered (distributed storage lost)"
+    assert u_out.addressable_shards[0].data.shape == (3, 9, 9, 3)
+    # padding rows stay exactly zero (they are outside the node grid)
+    assert float(jnp.max(jnp.abs(u_out[17:]))) == 0.0
