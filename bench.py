@@ -20,6 +20,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 _CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
@@ -232,6 +234,13 @@ def run_measurement():
     jax.block_until_ready(design)
     log(f"compile+first step: {time.time() - t0:.1f}s; "
         f"energy {float(energy):.6e} cg {int(cg_iters)}")
+    if not np.isfinite(float(energy)):
+        # A NaN solve makes every subsequent "iteration" a no-op (CG exits
+        # immediately), producing an absurdly fast, meaningless it/s — fail
+        # the attempt instead of recording garbage (round 3 hit exactly
+        # this with a TPU-only numeric fault).
+        log("FIRST STEP PRODUCED NON-FINITE ENERGY — failing this attempt")
+        sys.exit(3)
     design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
     jax.block_until_ready(design)
     log(f"warm step 2: energy {float(energy):.6e} cg {int(cg_iters)}")

@@ -142,8 +142,11 @@ def apply_stencil(C, u):
                 us = up[1 + ox: 1 + ox + nnx,
                         1 + oy: 1 + oy + nny,
                         1 + oz: 1 + oz + nnz]
+                # HIGHEST is load-bearing on TPU (CLAUDE.md fp32 lore): the
+                # default single-pass bf16 contraction degrades the operator
                 term = jnp.einsum("...ij,...j->...i",
-                                  C[ox + 1, oy + 1, oz + 1], us)
+                                  C[ox + 1, oy + 1, oz + 1], us,
+                                  precision=lax.Precision.HIGHEST)
                 out = term if out is None else out + term
     return out
 
