@@ -241,27 +241,63 @@ def run_measurement():
         # this with a TPU-only numeric fault).
         log("FIRST STEP PRODUCED NON-FINITE ENERGY — failing this attempt")
         sys.exit(3)
+    compile_s = round(time.time() - t0, 1)
     design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
     jax.block_until_ready(design)
     log(f"warm step 2: energy {float(energy):.6e} cg {int(cg_iters)}")
+    done_iters = 2
 
     t0 = time.time()
     for _ in range(n_timed):
         design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
     jax.block_until_ready(design)
     elapsed = time.time() - t0
+    done_iters += n_timed
+    early_cg = int(cg_iters)
 
-    iters_per_sec = n_timed / elapsed
-    log(f"{n_timed} SIMP iters in {elapsed:.2f}s -> {iters_per_sec:.2f} it/s;"
-        f" last solve: {int(cg_iters)} CG iters; energy {float(energy):.6e}")
+    early_its = n_timed / elapsed
+    log(f"EARLY: {n_timed} SIMP iters in {elapsed:.2f}s -> "
+        f"{early_its:.2f} it/s; last solve: {early_cg} CG iters; "
+        f"energy {float(energy):.6e}")
+
+    # Honest LATE-trajectory measurement: advance to a developed design
+    # (SIMP contrast ~1e9 between void and solid instead of the mild
+    # contrast of iterations 3-12), then time again.  The reported headline
+    # value is the LATE figure — the one a real 50+-iteration optimization
+    # actually sustains (round-2 VERDICT item 4).
+    late_start = int(os.environ.get("BENCH_LATE_START", "50"))
+    late_its = late_cg = None
+    if os.environ.get("BENCH_SKIP_LATE", "0") != "1" and \
+            late_start > done_iters:
+        for _ in range(late_start - done_iters):
+            design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
+        jax.block_until_ready(design)
+        t0 = time.time()
+        for _ in range(n_timed):
+            design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
+        jax.block_until_ready(design)
+        late_its = n_timed / (time.time() - t0)
+        late_cg = int(cg_iters)
+        log(f"LATE (iters {late_start + 1}-{late_start + n_timed}): "
+            f"{late_its:.2f} it/s; last solve: {late_cg} CG iters; "
+            f"energy {float(energy):.6e}")
+        if not np.isfinite(float(energy)):
+            log("LATE TRAJECTORY NON-FINITE — failing this attempt")
+            sys.exit(3)
+
+    headline = late_its if late_its is not None else early_its
     # JSON goes out BEFORE the optional phase breakdown: a TPU fault inside
     # the breakdown's extra programs must not discard a completed
     # measurement (it wedges the process, so guard + flush-first).
     print(json.dumps({
         "metric": f"simp_iterations_per_sec_{nx}x{ny}x{nz}",
-        "value": round(iters_per_sec, 3),
+        "value": round(headline, 3),
         "unit": "iters/sec",
-        "vs_baseline": round(iters_per_sec / 5.0, 3),
+        "vs_baseline": round(headline / 5.0, 3),
+        "early_its": round(early_its, 3), "early_cg": early_cg,
+        "late_its": None if late_its is None else round(late_its, 3),
+        "late_cg": late_cg, "late_start_iter": late_start,
+        "compile_s": compile_s,
     }), flush=True)
     if with_phases:
         try:
@@ -282,23 +318,32 @@ def main():
     attempts = [("1", "fused Pallas matvec")] * 6 + [("0", "XLA matvec")]
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     t_start = time.time()
+    attempt_log = []
     for k, (flag, name) in enumerate(attempts):
         if k:
-            time.sleep(20)
             name = f"{name} (attempt {k + 1})"
         if flag == "1" and k and time.time() - t_start > budget_s:
             # Out of budget for fused retries: jump to the reliable XLA
             # fallback so SOME measurement is always recorded before any
-            # external timeout.
+            # external timeout.  (Budget checked BEFORE the settle sleep so
+            # exhausted budgets don't burn 20 s per skipped attempt.)
             log(f"budget {budget_s:.0f}s exhausted; skipping to XLA fallback")
+            attempt_log.append({"name": name, "skipped": "budget"})
             continue
+        if k:
+            time.sleep(20)
         env = dict(os.environ, BENCH_CHILD="1", BENCH_USE_PALLAS=flag)
         log(f"--- bench attempt: {name} ---")
+        t_att = time.time()
         proc = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__)],
             env=env, stdout=subprocess.PIPE, text=True)
         out = proc.stdout.strip().splitlines()
         json_lines = [l for l in out if l.startswith("{")]
+        attempt_log.append({
+            "name": name, "rc": proc.returncode,
+            "ok": bool(json_lines), "wall_s": round(time.time() - t_att, 1),
+        })
         if json_lines:
             # A JSON line means the measurement completed; a nonzero exit
             # after that (e.g. a fault in optional diagnostics) is logged
@@ -306,7 +351,11 @@ def main():
             if proc.returncode != 0:
                 log(f"attempt '{name}': measurement ok, child exited "
                     f"rc={proc.returncode} afterwards")
-            print(json_lines[-1], flush=True)
+            # Per-attempt statistics ride in the artifact itself so fault
+            # rates are data, not stderr folklore (round-2 VERDICT item 4).
+            payload = json.loads(json_lines[-1])
+            payload["attempts"] = attempt_log
+            print(json.dumps(payload), flush=True)
             return
         log(f"attempt '{name}' failed (rc={proc.returncode}); retrying")
     log("all attempts failed")

@@ -155,6 +155,41 @@ def hex8_b_matrices(spacing):
     return B, w
 
 
+def elasticity_matrix_lame(lam, mu):
+    """6x6 isotropic elasticity matrix directly from Lamé parameters.
+
+    D is LINEAR in (lam, mu): D = lam * D_lam + mu * D_mu with constant
+    basis matrices — the invariant behind the two-field variable-material
+    operator (ke(lam, mu) = lam * ke_lam + mu * ke_mu).
+    """
+    D = np.zeros((6, 6), dtype=np.float64)
+    D[:3, :3] = lam
+    D[0, 0] = D[1, 1] = D[2, 2] = lam + 2.0 * mu
+    D[3, 3] = D[4, 4] = D[5, 5] = mu
+    return D
+
+
+def hex8_stiffness_lame_basis(spacing):
+    """(ke_lam, ke_mu): 24x24 basis stiffnesses of the uniform box element
+    at (lam, mu) = (1, 0) and (0, 1), float64 host-side.
+
+    ke(lam, mu) = lam * ke_lam + mu * ke_mu exactly — the TPU-native
+    replacement for the reference's per-cell variable-material re-assembly
+    (`assemble_variable_material!`, FiniteElementAnalysis.jl:719-743):
+    instead of recomputing a 24x24 quadrature per cell per iteration, the
+    matvec contracts two constant kes against two per-element Lamé fields.
+    """
+    B, w = hex8_b_matrices(spacing)
+    kes = []
+    for lam, mu in ((1.0, 0.0), (0.0, 1.0)):
+        D = elasticity_matrix_lame(lam, mu)
+        ke = np.zeros((24, 24), dtype=np.float64)
+        for q in range(8):
+            ke += w[q] * (B[q].T @ D @ B[q])
+        kes.append(0.5 * (ke + ke.T))
+    return kes[0], kes[1]
+
+
 def hex8_stiffness(spacing, E=1.0, nu=0.3):
     """24x24 stiffness of an axis-aligned box element (hx, hy, hz).
 

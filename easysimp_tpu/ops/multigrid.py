@@ -110,7 +110,14 @@ class MultigridPreconditioner:
                  refresh_iters: int = 2, cycle_dtype=None,
                  smoother: str = "chebyshev", galerkin: bool = True,
                  cycle: str = "v"):
-        self.smooth_iters = int(smooth_iters)
+        # smooth_iters: int (same Chebyshev degree everywhere) or a sequence
+        # of per-level degrees (last entry repeats for deeper levels) —
+        # stronger coarse smoothing buys W-cycle-like robustness at V-cycle
+        # graph size (coarse matvecs are cheap; compile stays linear).
+        if isinstance(smooth_iters, (tuple, list)):
+            self.smooth_iters = tuple(int(s) for s in smooth_iters)
+        else:
+            self.smooth_iters = int(smooth_iters)
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown smoother {smoother!r}")
         if cycle not in ("v", "w"):
@@ -449,8 +456,9 @@ class MultigridPreconditioner:
             return out.astype(r.dtype)
 
         mask = state["masks"][lvl]
+        iters = self._level_smooth_iters(lvl)
         x = jnp.zeros_like(r)
-        x = self._smooth(lvl, state, r, x, self.smooth_iters)
+        x = self._smooth(lvl, state, r, x, iters)
         res = r - self._apply_level(lvl, state, x)
         rc = state["masks"][lvl + 1] * restrict(res)
         xc = self._vcycle(lvl + 1, state, rc)
@@ -462,8 +470,13 @@ class MultigridPreconditioner:
             rc2 = rc - self._apply_level(lvl + 1, state, xc)
             xc = xc + self._vcycle(lvl + 1, state, rc2)
         x = x + mask * prolong(xc)
-        x = self._smooth(lvl, state, r, x, self.smooth_iters)
+        x = self._smooth(lvl, state, r, x, iters)
         return x
+
+    def _level_smooth_iters(self, lvl: int) -> int:
+        if isinstance(self.smooth_iters, tuple):
+            return self.smooth_iters[min(lvl, len(self.smooth_iters) - 1)]
+        return self.smooth_iters
 
     def _make_M(self, state):
         lp = self.cycle_dtype

@@ -171,6 +171,74 @@ class VoxelOperator:
         ue, q = self.apply_elements(u)
         return jnp.sum(ue * q, axis=-1)
 
+    # ----- variable-material (two-field Lamé) path ------------------------
+    # TPU-native replacement for the reference's `assemble_variable_material!`
+    # branch (use_cache=false, FiniteElementAnalysis.jl:719-743): ke is
+    # LINEAR in (lam, mu), so an arbitrary per-element material is two
+    # constant-ke contractions against two Lamé fields — no per-cell
+    # quadrature, works for models where Poisson's ratio varies with density
+    # (which the unit-ke scaling path cannot express).
+    @property
+    def ke_lame_basis(self):
+        """(ke_lam, ke_mu) with ke(lam, mu) = lam*ke_lam + mu*ke_mu.
+
+        Caches NUMPY (the jnp conversion happens per use: converting inside
+        a trace returns tracers, and caching those leaks them across jits).
+        """
+        if not hasattr(self, "_ke_lame_np"):
+            from .elements import hex8_stiffness_lame_basis
+
+            self._ke_lame_np = hex8_stiffness_lame_basis(self.grid.spacing)
+        kl, km = self._ke_lame_np
+        return jnp.asarray(kl, dtype=self.dtype), jnp.asarray(km, self.dtype)
+
+    def apply_K_lame(self, u, lam_field, mu_field):
+        """K(lam, mu) @ u with per-element Lamé fields (nx, ny, nz)."""
+        ke_lam, ke_mu = self.ke_lame_basis
+        ue = gather_element_dofs(u)
+        shp = ue.shape
+        flat = ue.reshape(-1, 24)
+        ql = jnp.dot(flat, ke_lam, precision=jax.lax.Precision.HIGHEST)
+        qm = jnp.dot(flat, ke_mu, precision=jax.lax.Precision.HIGHEST)
+        fe = (lam_field[..., None] * ql.reshape(shp)
+              + mu_field[..., None] * qm.reshape(shp))
+        return scatter_element_dofs(fe)
+
+    def apply_lame(self, u, lam_field, mu_field, free_mask):
+        """BC-masked SPD action of the variable-material operator."""
+        return free_mask * self.apply_K_lame(free_mask * u, lam_field,
+                                             mu_field)
+
+    def diagonal_lame(self, lam_field, mu_field, free_mask):
+        """diag of the masked variable-material K; 1.0 on constrained dofs."""
+        ke_lam, ke_mu = self.ke_lame_basis
+        nx, ny, nz = self.grid.nels
+        out = jnp.zeros((nx + 1, ny + 1, nz + 1, 3), dtype=lam_field.dtype)
+        for c, (dx, dy, dz) in enumerate(HEX_CORNERS):
+            dl = jnp.diagonal(ke_lam)[3 * c: 3 * c + 3]
+            dm = jnp.diagonal(ke_mu)[3 * c: 3 * c + 3]
+            out = out.at[dx: dx + nx, dy: dy + ny, dz: dz + nz, :].add(
+                lam_field[..., None] * dl[None, None, None, :]
+                + mu_field[..., None] * dm[None, None, None, :]
+            )
+        return jnp.where(free_mask > 0, out, jnp.ones_like(out))
+
+    def element_energies_lame(self, u):
+        """(u_e^T ke_lam u_e, u_e^T ke_mu u_e) element fields — the exact
+        material-derivative quadratics for variable-material sensitivities:
+        dc/drho_e = -(lam'(rho) w_lam + mu'(rho) w_mu)."""
+        ke_lam, ke_mu = self.ke_lame_basis
+        ue = gather_element_dofs(u)
+        flat = ue.reshape(-1, 24)
+        shp = ue.shape[:-1]
+        wl = jnp.sum(flat * jnp.dot(flat, ke_lam,
+                                    precision=jax.lax.Precision.HIGHEST),
+                     axis=-1).reshape(shp)
+        wm = jnp.sum(flat * jnp.dot(flat, ke_mu,
+                                    precision=jax.lax.Precision.HIGHEST),
+                     axis=-1).reshape(shp)
+        return wl, wm
+
     def compliance_sensitivities(self, u, rho_phys):
         """d(compliance)/d(rho_phys) = -p rho^(p-1) (E0-Emin) u_e^T ke u_e.
 

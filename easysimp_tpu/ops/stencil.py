@@ -245,8 +245,15 @@ def level1_weights(ke) -> np.ndarray:
 
 def level1_stencil_from_scale(scale, G, precision=lax.Precision.HIGHEST):
     """Fine element moduli (nx, ny, nz) -> level-1 Galerkin stencil
-    (3, 3, 3, ncx+1, ncy+1, ncz+1, 3, 3), via ONE stride-2 4^3-kernel conv
-    (243 output channels) — MXU-friendly and O(64 * 9) FLOPs per coarse node.
+    (3, 3, 3, ncx+1, ncy+1, ncz+1, 3, 3): stack the 64 stride-2 shifted
+    views of the (zero-padded) scale field, then ONE (n_coarse_nodes, 64) @
+    (64, 243) MXU matmul against the precomputed weight matrix — the
+    im2col form of a stride-2 4^3-kernel conv.
+
+    NOT lax.conv on purpose: on TPU, the 243-channel conv fused into the
+    same XLA program as the downstream strided-slice RAP ops miscompiled
+    (deterministically wrong coarse diagonals, correct when split into two
+    programs — root-caused round 3); dot_general + slices lower cleanly.
 
     G is `level1_weights(ke)`.  Fine element counts must be even.
     """
@@ -254,16 +261,21 @@ def level1_stencil_from_scale(scale, G, precision=lax.Precision.HIGHEST):
     if nx % 2 or ny % 2 or nz % 2:
         raise ValueError(f"fine element counts {scale.shape} must be even")
     dt = scale.dtype
-    sp = jnp.pad(scale, 2)[None, ..., None]            # (1, nx+4, ny+4, nz+4, 1)
-    # kernel [s'x, s'y, s'z, in=1, oc] with s' = s + 2, oc = (O-major, i, j)
-    kern = jnp.asarray(
-        G.transpose(3, 4, 5, 0, 1, 2, 6, 7).reshape(4, 4, 4, 1, 27 * 9),
+    ncnx, ncny, ncnz = nx // 2 + 1, ny // 2 + 1, nz // 2 + 1
+    sp = jnp.pad(scale, 2)                             # (nx+4, ny+4, nz+4)
+    views = []
+    for sx in range(4):
+        for sy in range(4):
+            for sz in range(4):
+                views.append(sp[sx: sx + 2 * ncnx - 1: 2,
+                                sy: sy + 2 * ncny - 1: 2,
+                                sz: sz + 2 * ncnz - 1: 2])
+    S = jnp.stack(views).reshape(64, -1)               # (64, n_coarse_nodes)
+    # weights [s, oc] with s = (sx, sy, sz), oc = (O-major, i, j)
+    Gm = jnp.asarray(
+        G.transpose(3, 4, 5, 0, 1, 2, 6, 7).reshape(4 * 4 * 4, 27 * 9),
         dtype=dt)
-    out = lax.conv_general_dilated(
-        sp, kern, window_strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision,
-    )[0]                                               # (ncn_x, ncn_y, ncn_z, 243)
-    ncnx, ncny, ncnz = out.shape[:3]
+    out = jnp.dot(S.T, Gm, precision=precision)        # (n_nodes, 243)
     C = out.reshape(ncnx, ncny, ncnz, 3, 3, 3, 3, 3)
     return jnp.transpose(C, (3, 4, 5, 0, 1, 2, 6, 7))
 

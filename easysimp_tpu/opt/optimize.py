@@ -159,6 +159,9 @@ class VoxelStep:
     # shapes (distributed storage); crop_node slices a padded node field back
     # to the exact (nnx, nny, nnz, 3) shape.  Identity when mesh is None.
     crop_node: Callable = staticmethod(lambda a: a)
+    # element_energy(phys, u) -> 0.5 u_e^T K_e u_e field (handles both the
+    # SIMP fast path and the variable-material branch)
+    element_energy: Callable | None = None
 
     # field order returned by `step`.  The convergence/diagnostic reductions
     # live in the separate `metrics` program: compiling them into the same
@@ -232,16 +235,33 @@ def build_voxel_step(grid, loads, boundary_conditions,
 
     precond_factory, pvecs0, mg_power_init = _build_preconditioner(op, params)
 
+    material_model = params.material_model
+    # Equivalent-modulus field for the PRECONDITIONER under a custom
+    # material: E_eff = 2(1+nu)*mu(rho) — exact when nu is density-
+    # independent; for varying-nu models an SPD approximation (the
+    # preconditioner only steers CG, the operator itself is exact).
+    mu_unit = 1.0 / (2.0 * (1.0 + params.nu))
+
+    def _precond_scale(phys):
+        if material_model is None:
+            return op.youngs_modulus(phys)
+        _, mu_f = material_model(phys)
+        return mu_f / mu_unit
+
     def forward(design, u_prev, pvecs, f_ext, free_mask):
         """Shared physics: filter -> loads -> solve -> energy/volume."""
         phys = filt.density_filter(design) if use_density_filter else design
-        scale = op.youngs_modulus(phys)
+        scale = _precond_scale(phys)
         f = f_ext
         if acceleration_data is not None:
             f = f + voxel_body_force(phys, accel_vec, base_density, elem_vol,
                                      dtype)
         f_bc = f * free_mask
-        A = lambda v: op.apply(v, scale, free_mask)
+        if material_model is None:
+            A = lambda v: op.apply(v, scale, free_mask)
+        else:
+            lam_f, mu_f = material_model(phys)
+            A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
         M, new_pvecs = precond_factory(scale, free_mask, pvecs)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
                        rtol=params.cg_rtol, maxiter=params.cg_maxiter)
@@ -253,7 +273,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
     def power_init(design, free_mask):
         """One-time cold lambda_max estimation on the initial design."""
         phys = filt.density_filter(design) if use_density_filter else design
-        return mg_power_init(op.youngs_modulus(phys), free_mask)
+        return mg_power_init(_precond_scale(phys), free_mask)
 
     def step_solve(design, u_prev, pvecs, f_ext, free_mask):
         """Program 1 of the iteration: filter -> MG-CG solve (Pallas)."""
@@ -264,7 +284,15 @@ def build_voxel_step(grid, loads, boundary_conditions,
 
     def step_update(design, phys, u, vsens):
         """Program 2: sensitivities -> filter -> OC design update."""
-        sens = op.compliance_sensitivities(u, phys)
+        if material_model is None:
+            sens = op.compliance_sensitivities(u, phys)
+        else:
+            # exact material derivative via one elementwise jvp:
+            # dc/drho = -(lam'(rho) u_e^T ke_lam u_e + mu'(rho) u_e^T ke_mu u_e)
+            _, (dlam, dmu) = jax.jvp(material_model, (phys,),
+                                     (jnp.ones_like(phys),))
+            wl, wm = op.element_energies_lame(u)
+            sens = -(dlam * wl + dmu * wm)
         if use_density_filter:
             fsens = filt.chain_rule(sens)
         else:
@@ -308,6 +336,14 @@ def build_voxel_step(grid, loads, boundary_conditions,
         phys, sol, energy, _, _ = forward(design, jnp.zeros_like(u0_exact),
                                           pvecs, f_ext, free_mask)
         return phys, sol.u, energy
+
+    def element_energy(phys, u):
+        """0.5 * u_e^T K_e u_e element field (PostProcessing.jl:172-197)."""
+        if material_model is None:
+            return 0.5 * op.youngs_modulus(phys) * op.element_energies_unit(u)
+        lam_f, mu_f = material_model(phys)
+        wl, wm = op.element_energies_lame(u)
+        return 0.5 * (lam_f * wl + mu_f * wm)
 
     crop_node = lambda a: a
     if mesh is not None:
@@ -363,7 +399,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
         total_volume=total_volume, dtype=dtype,
         use_density_filter=use_density_filter, pvecs0=pvecs0,
         power_init=power_init if mg_power_init is not None else None,
-        crop_node=crop_node,
+        crop_node=crop_node, element_energy=element_energy,
     )
 
 
@@ -389,6 +425,11 @@ def simp_optimize(grid, loads, boundary_conditions,
         restores design/displacements/iteration/histories and continues.
     """
     if not isinstance(grid, VoxelGrid):
+        if params.material_model is not None:
+            raise NotImplementedError(
+                "material_model (the variable-material branch) is currently "
+                "implemented for voxel grids; the unstructured path uses the "
+                "SIMP law")
         if mesh is not None and tuple(mesh.axis_names) != ("e",):
             raise ValueError(
                 f"unstructured meshes need a 1-axis ('e',) element device "
@@ -574,7 +615,7 @@ def simp_optimize(grid, loads, boundary_conditions,
                     print_info(
                         f"Tolerance checkpoint {cp} reached at iteration {it}")
                     _export_intermediate(
-                        grid, op, params, phys, vs.crop_node(u), energy,
+                        vs, params, phys, vs.crop_node(u), energy,
                         volume, it, energy_history, volume_history,
                         name=f"final_results_{int(round(cp * 100)):02d}tol",
                     )
@@ -584,7 +625,7 @@ def simp_optimize(grid, loads, boundary_conditions,
                 and it % params.export_interval == 0
                 and params.export_path):
             _export_intermediate(
-                grid, op, params, phys, vs.crop_node(u), energy, volume, it,
+                vs, params, phys, vs.crop_node(u), energy, volume, it,
                 energy_history, volume_history, name=f"iter_{it:04d}",
             )
 
@@ -607,20 +648,17 @@ def simp_optimize(grid, loads, boundary_conditions,
     from ..stress import voxel_stresses
 
     stresses = voxel_stresses(
-        grid, u, phys, params.E0, params.Emin, params.nu, params.p
+        grid, u, phys, params.E0, params.Emin, params.nu, params.p,
+        material_model=params.material_model,
     )
     print_data(
         f"Maximum von Mises stress: {stresses.max_von_mises} "
         f"at cell {stresses.max_vm_cell}"
     )
-    # 0.5 * integral(sigma:eps) per cell == 0.5 * E(rho) * u_e^T ke_unit u_e
+    # 0.5 * integral(sigma:eps) per cell == 0.5 * u_e^T K_e u_e
     # (PostProcessing.jl:172-197)
     elem_energies = grid.cells_flat(
-        np.asarray(
-            0.5 * op.youngs_modulus(phys) * op.element_energies_unit(u),
-            dtype=np.float64,
-        )
-    )
+        np.asarray(vs.element_energy(phys, u), dtype=np.float64))
 
     if logger is not None:
         logger.write_summary(final_energy, final_volume, converged)
@@ -648,7 +686,7 @@ def simp_optimize(grid, loads, boundary_conditions,
     )
 
 
-def _export_intermediate(grid, op, params, phys, u, energy, volume, iteration,
+def _export_intermediate(vs, params, phys, u, energy, volume, iteration,
                          energy_history, volume_history, name):
     """Stress recovery + VTU export for checkpoints/interval dumps."""
     import os
@@ -656,15 +694,13 @@ def _export_intermediate(grid, op, params, phys, u, energy, volume, iteration,
     from ..post.vtu import create_results_data, export_main_results
     from ..stress import voxel_stresses
 
+    grid = vs.grid
     stresses = voxel_stresses(
-        grid, u, phys, params.E0, params.Emin, params.nu, params.p
+        grid, u, phys, params.E0, params.Emin, params.nu, params.p,
+        material_model=params.material_model,
     )
     elem_energies = grid.cells_flat(
-        np.asarray(
-            0.5 * op.youngs_modulus(phys) * op.element_energies_unit(u),
-            dtype=np.float64,
-        )
-    )
+        np.asarray(vs.element_energy(phys, u), dtype=np.float64))
     phys_np = np.asarray(phys, dtype=np.float64)
     interim = OptimizationResult(
         densities=grid.cells_flat(phys_np),

@@ -41,6 +41,17 @@ class OptimizationParameters:
     # Performance (reference: element-cache toggle; here: solver config)
     use_cache: bool = True              # kept for API parity; always cached
 
+    # Variable-material interpolation (the reference's use_cache=false /
+    # `assemble_variable_material!` branch, FiniteElementAnalysis.jl:719-743):
+    # a jnp-traceable ELEMENTWISE map rho -> (lam, mu) — e.g. the closure
+    # from create_simp_material_model, or a RAMP/varying-nu law.  None (the
+    # default) uses the SIMP power law with the unit-ke scaling fast path.
+    # When set, the voxel operator contracts two constant Lamé-basis kes
+    # against the (lam(rho), mu(rho)) fields, and sensitivities come from
+    # the exact material derivative via jax.jvp (BETTER than the reference,
+    # whose sensitivity analysis hardcodes the SIMP law even on this branch).
+    material_model: object = None
+
     # Intermediate export
     export_interval: int = 0
     export_path: str = ""
@@ -53,7 +64,11 @@ class OptimizationParameters:
     cg_maxiter: int = 20000
     preconditioner: str = "auto"        # auto|jacobi|block_jacobi|amg|multigrid|none
     mg_levels: int = 0                  # 0 = auto depth
-    mg_smooth_iters: int = 1            # Chebyshev degree / Jacobi sweeps
+    mg_smooth_iters: object = 1         # Chebyshev degree / Jacobi sweeps;
+                                        # int, or a per-level sequence like
+                                        # (1, 3) = degree 1 on the fine
+                                        # level, 3 on coarse levels (last
+                                        # entry repeats downward)
     mg_cycle_dtype: str = ""            # "" = operator dtype; "bfloat16" runs
                                         # the V-cycle interior in bf16
     mg_galerkin: bool = True            # variational P^T A P coarse stencils

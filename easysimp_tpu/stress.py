@@ -63,7 +63,8 @@ def von_mises_from_voigt(sig):
     )
 
 
-def voxel_stress_arrays(grid, u_field, rho_phys, E0, Emin, nu, p):
+def voxel_stress_arrays(grid, u_field, rho_phys, E0, Emin, nu, p,
+                        material_model=None):
     """Device-side batched stress recovery on the voxel grid.
 
     Returns (qp_stresses (nx,ny,nz,8,6), avg (nx,ny,nz,6), vm (nx,ny,nz)).
@@ -79,8 +80,14 @@ def voxel_stress_arrays(grid, u_field, rho_phys, E0, Emin, nu, p):
     ue = gather_element_dofs(u_field)                      # (nx,ny,nz,24)
     # Voigt ENGINEERING strains at each qp: eps = B @ ue
     eps = jnp.einsum("qck,...k->...qc", B, ue)             # (nx,ny,nz,8,6)
-    E = simp_youngs_modulus(rho_phys, E0, Emin, p)
-    lam, mu = lame_parameters(E, nu)
+    if material_model is not None:
+        # variable-material branch: the reference passes its material
+        # closure into calculate_stresses_simp the same way
+        # (FiniteElementAnalysis.jl:567-580)
+        lam, mu = material_model(rho_phys)
+    else:
+        E = simp_youngs_modulus(rho_phys, E0, Emin, p)
+        lam, mu = lame_parameters(E, nu)
     tr = jnp.sum(eps[..., _VOIGT_TR], axis=-1)             # (nx,ny,nz,8)
     sig = jnp.empty_like(eps)
     lam_q = lam[..., None]
@@ -170,9 +177,11 @@ def unstructured_stresses(mesh, u_flat, rho_phys, E0, Emin, nu, p) -> StressFiel
     )
 
 
-def voxel_stresses(grid, u_field, rho_phys, E0, Emin, nu, p) -> StressField:
+def voxel_stresses(grid, u_field, rho_phys, E0, Emin, nu, p,
+                   material_model=None) -> StressField:
     """Host-facing stress recovery; flattens to x-fastest cell numbering."""
-    sig, avg, vm = voxel_stress_arrays(grid, u_field, rho_phys, E0, Emin, nu, p)
+    sig, avg, vm = voxel_stress_arrays(grid, u_field, rho_phys, E0, Emin, nu,
+                                       p, material_model)
     sig = np.asarray(sig)
     sig_flat = sig.transpose(2, 1, 0, 3, 4).reshape(grid.n_cells, 8, 6)
     avg_flat = np.asarray(avg).transpose(2, 1, 0, 3).reshape(-1, 6)
