@@ -193,11 +193,17 @@ def run_measurement():
     load = et.PointLoad(
         et.select_nodes_by_box(grid, [nx, 0, 0], [nx, 0, nz]),
         [0.0, -1.0, 0.0])
+    import ast
+
     params = et.OptimizationParameters(
         E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
         filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
         preconditioner="multigrid", use_pallas_matvec=use_pallas,
-        mg_cycle_dtype=mg_dtype)
+        mg_cycle_dtype=mg_dtype,
+        mg_galerkin=os.environ.get("BENCH_GALERKIN", "1") == "1",
+        mg_cycle=os.environ.get("BENCH_MG_CYCLE", "w"),
+        mg_smooth_iters=ast.literal_eval(
+            os.environ.get("BENCH_MG_SMOOTH", "1")))
     log(f"grid {nels} = {grid.n_cells} cells, {grid.n_dofs} dofs, "
         f"dtype {dtype}, pallas {use_pallas}")
 

@@ -178,9 +178,15 @@ def coarsen_stencil_axis(C, axis: int):
     if nf % 2 != 1:
         raise ValueError(f"fine node count {nf} along axis {axis} must be odd")
     nc = (nf - 1) // 2 + 1
-    pad_widths = [(0, 0)] * C.ndim
-    pad_widths[sdim] = (1, 1)
-    Cp = jnp.pad(C, pad_widths)
+    # Move the strided spatial axis to the FRONT and stride on the leading
+    # dim (the `_restrict_axis` pattern, ops/multigrid.py).  NOT slice_in_dim
+    # on the middle dim of the rank-8 tensor: that form MISCOMPILES on TPU
+    # when the input carries an in-program (transpose-fused) layout —
+    # deterministically wrong coarse stencils, correct when the same slice
+    # runs in its own program (round-3 root cause of the 128^3 NaN solves).
+    Cm = jnp.moveaxis(C, sdim, 0)
+    Cm = jnp.pad(Cm, [(1, 1)] + [(0, 0)] * (Cm.ndim - 1))
+    odim = 1 + axis        # the `axis` offset dim, shifted by the moveaxis
     targets = []
     for O in _OFF:
         acc = None
@@ -190,14 +196,13 @@ def coarsen_stencil_axis(C, axis: int):
                 if abs(t) > 1:
                     continue
                 w = _p1(d) * _p1(t)
-                piece = lax.index_in_dim(Cp, o + 1, axis=axis, keepdims=False)
-                # spatial slice [d+1 : d+2nc : 2] along (sdim - 1) after the
-                # offset dim was dropped
-                piece = lax.slice_in_dim(piece, d + 1, d + 2 * nc, stride=2,
-                                         axis=sdim - 1)
+                piece = lax.index_in_dim(Cm, o + 1, axis=odim, keepdims=False)
+                piece = piece[d + 1: d + 2 * nc: 2]     # leading-dim stride
                 term = w * piece
                 acc = term if acc is None else acc + term
-        targets.append(acc)
+        # spatial axis back home; one offset dim was dropped above, so its
+        # target position is sdim - 1 in the rank-7 accumulator
+        targets.append(jnp.moveaxis(acc, 0, sdim - 1))
     return jnp.stack(targets, axis=axis)
 
 
