@@ -220,7 +220,13 @@ def run_measurement():
     f_ext, free_mask, vsens = vs.step_args
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
     if vs.power_init is not None:
-        pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
+        # Per-level programs, not the all-levels one-shot: the one-shot is
+        # the most fault-prone program class on the tunnel TPU (round-2/3
+        # flake data in memory/tpu-env-gotchas.md).
+        if getattr(vs, "power_init_split", None) is not None:
+            pvecs = vs.power_init_split(design, vs.step_args[1])
+        else:
+            pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
         jax.block_until_ready(pvecs)  # drain before loading the next program
 
     def one_step(design, u, pvecs, serialize=False):

@@ -314,6 +314,52 @@ class MultigridPreconditioner:
             vecs.append(v)
         return tuple(vecs)
 
+    def power_init_split(self, scale, free_mask):
+        """`power_init` as SEPARATE small device programs (host loop): one
+        prep program (level fields/stencils, XLA-only) + one per-level power
+        iteration.  Numerically the same estimation; operationally far more
+        robust on the tunnel TPU, where the all-levels one-shot program is
+        the single most fault-prone program class ("UNAVAILABLE: TPU device
+        error" on first execution — round-2/3 flake data: 5-level one-shot
+        0/3, small per-kernel programs 8/8).  The drivers use this."""
+        prep = jax.jit(lambda s, m: self._prep_levels(s, m))
+        scales, masks, stencils = prep(scale, free_mask)
+        jax.block_until_ready(masks)
+        vecs = []
+        for lvl in range(self.n_levels):
+            if stencils[lvl] is not None:
+                fn = jax.jit(
+                    lambda st, m, v, lvl=lvl: self._power_one_stencil(
+                        lvl, st, m, v))
+                v = fn(stencils[lvl], masks[lvl], self._hash_vector(lvl))
+            else:
+                fn = jax.jit(
+                    lambda s, m, v, lvl=lvl: self._power_one_op(lvl, s, m, v))
+                v = fn(scales[lvl], masks[lvl], self._hash_vector(lvl))
+            jax.block_until_ready(v)
+            vecs.append(v)
+        return tuple(vecs)
+
+    def _prep_levels(self, scale, free_mask):
+        scales, masks = self._coarsen_fields(scale, free_mask)
+        stencils = self._build_stencils(scale, masks)
+        return scales, masks, stencils
+
+    def _power_one_op(self, lvl, scale_l, mask_l, v0):
+        diag = self.ops[lvl].diagonal(scale_l, mask_l)
+        op = self.ops[lvl]
+        _, v = self._estimate_lambda_max(
+            lambda w: op.apply(w, scale_l, mask_l), mask_l, diag, v0,
+            self.power_iters)
+        return v
+
+    def _power_one_stencil(self, lvl, stencil_l, mask_l, v0):
+        diag = stencil_diagonal(stencil_l)
+        _, v = self._estimate_lambda_max(
+            lambda w: apply_stencil(stencil_l, w), mask_l, diag, v0,
+            self.power_iters)
+        return v
+
     def _level_diag(self, lvl, scales, masks, stencils):
         if stencils[lvl] is not None:
             return stencil_diagonal(stencils[lvl])

@@ -81,7 +81,7 @@ def _warn_sensitivity_health(frac_neg, max_abs, fsens) -> bool:
 
 
 def _build_preconditioner(op, params):
-    """Returns (factory, power_vectors0, power_init).
+    """Returns (factory, power_vectors0, power_init, mg).
 
     factory(scale, free_mask, power_vectors) -> (M(r), new_power_vectors) —
     the power vectors are the multigrid smoother's carried lambda_max
@@ -104,20 +104,21 @@ def _build_preconditioner(op, params):
         )
         if mg.n_levels > 1:
             return (mg.stateful_factory(), mg.init_power_vectors(),
-                    mg.power_init)
+                    mg.power_init, mg)
         if choice == "multigrid":
             print_warning(
                 "multigrid requested but grid has no coarsenable levels; "
                 "falling back to Jacobi"
             )
     if choice == "none":
-        return (lambda scale, mask, pvecs: ((lambda r: r), pvecs)), (), None
+        return ((lambda scale, mask, pvecs: ((lambda r: r), pvecs)), (),
+                None, None)
 
     def jacobi_factory(scale, mask, pvecs):
         diag = op.diagonal(scale, mask)
         return (lambda r: r / diag), pvecs
 
-    return jacobi_factory, (), None
+    return jacobi_factory, (), None, None
 
 
 @dataclass
@@ -162,6 +163,9 @@ class VoxelStep:
     # element_energy(phys, u) -> 0.5 u_e^T K_e u_e field (handles both the
     # SIMP fast path and the variable-material branch)
     element_energy: Callable | None = None
+    # Host-driven per-level cold power estimation (flake-robust TPU form);
+    # None when the preconditioner carries no state or under a device mesh.
+    power_init_split: Callable | None = None
 
     # field order returned by `step`.  The convergence/diagnostic reductions
     # live in the separate `metrics` program: compiling them into the same
@@ -233,7 +237,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
             node_fields=(u0, free_mask, f_ext),
         )
 
-    precond_factory, pvecs0, mg_power_init = _build_preconditioner(op, params)
+    precond_factory, pvecs0, mg_power_init, mg_obj = \
+        _build_preconditioner(op, params)
 
     material_model = params.material_model
     # Equivalent-modulus field for the PRECONDITIONER under a custom
@@ -274,6 +279,18 @@ def build_voxel_step(grid, loads, boundary_conditions,
         """One-time cold lambda_max estimation on the initial design."""
         phys = filt.density_filter(design) if use_density_filter else design
         return mg_power_init(_precond_scale(phys), free_mask)
+
+    def power_init_split(design, free_mask):
+        """power_init as a host-driven sequence of SMALL device programs —
+        the flake-robust form for the tunnel TPU (see
+        MultigridPreconditioner.power_init_split).  Meshless path only (the
+        driver uses the one-program form under a device mesh, where the
+        virtual-CPU devices have no flake)."""
+        scale = jax.jit(
+            lambda d: _precond_scale(
+                filt.density_filter(d) if use_density_filter else d))(design)
+        jax.block_until_ready(scale)
+        return mg_obj.power_init_split(scale, free_mask)
 
     def step_solve(design, u_prev, pvecs, f_ext, free_mask):
         """Program 1 of the iteration: filter -> MG-CG solve (Pallas)."""
@@ -400,6 +417,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
         use_density_filter=use_density_filter, pvecs0=pvecs0,
         power_init=power_init if mg_power_init is not None else None,
         crop_node=crop_node, element_energy=element_energy,
+        power_init_split=(power_init_split
+                          if mg_obj is not None and mesh is None else None),
     )
 
 
@@ -511,7 +530,14 @@ def simp_optimize(grid, loads, boundary_conditions,
     if vs.power_init is not None and not resumed_pvecs:
         # One-time cold lambda_max estimation (full power iteration); the
         # step then only REFRESHES the carried vectors (see ops/multigrid.py).
-        pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
+        # On the real TPU the estimation runs as per-level programs — the
+        # all-levels one-shot is the most fault-prone program class on the
+        # tunnel (memory/tpu-env-gotchas.md).
+        if vs.power_init_split is not None and \
+                jax.default_backend() == "tpu":
+            pvecs = vs.power_init_split(design, vs.step_args[1])
+        else:
+            pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
         jax.block_until_ready(pvecs)  # drain before loading the next program
 
     converged = False

@@ -195,3 +195,26 @@ class TestSmootherVariants:
         np.testing.assert_allclose(
             np.asarray(sols["bf16"].u), np.asarray(sols["fp32"].u),
             atol=2e-3 * umax)
+
+
+class TestPowerInitSplit:
+    def test_split_matches_one_shot(self):
+        """power_init_split (per-level device programs, the flake-robust TPU
+        form) returns exactly the vectors of the one-program power_init."""
+        grid = et.generate_grid((16, 8, 8), (0.0, 0.0, 0.0), (16.0, 8.0, 8.0))
+        op = et.VoxelOperator(grid, E0=200.0, Emin=1e-6, nu=0.3, p=3.0,
+                              dtype=jnp.float64)
+        bc = et.apply_fixed_boundary(
+            grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+        mask = jnp.asarray(et.build_free_mask(grid, [bc]))
+        rng = np.random.default_rng(7)
+        scale = op.youngs_modulus(
+            jnp.asarray(rng.choice([0.02, 1.0], size=grid.nels)))
+        mg = MultigridPreconditioner(op, smooth_iters=2)
+        assert mg.n_levels >= 2
+        one = mg.power_init(scale, mask)
+        split = mg.power_init_split(scale, mask)
+        assert len(one) == len(split)
+        for a, b in zip(one, split):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-14)
