@@ -164,6 +164,43 @@ def run_sharded_evidence(n_devices: int):
     }), flush=True)
 
 
+def _load_ckpt(path, design0):
+    """Load a mid-measurement checkpoint if present and shape-compatible."""
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        ck = dict(np.load(path, allow_pickle=False))
+    except Exception as e:  # noqa: BLE001 — a bad ckpt must not kill the run
+        log(f"ignoring unreadable checkpoint {path}: {e}")
+        return None
+    if tuple(ck["design"].shape) != tuple(design0.shape):
+        log("ignoring checkpoint with mismatched grid shape")
+        return None
+    return ck
+
+
+def _save_ckpt(path, design, u, pvecs, done_iters, early):
+    """Atomic device->host checkpoint between measurement phases.
+
+    The tunnel TPU currently faults heavy programs at arbitrary points
+    (round-3: mid-timed-loop, after 2+ clean executions — ~35-50 min of
+    retries lost per attempt without this).  ~35 MB fetched at phase
+    boundaries only, never inside a timed window."""
+    if not path:
+        return
+    arrs = {"design": np.asarray(design), "u": np.asarray(u),
+            "done_iters": np.int64(done_iters),
+            "n_pvecs": np.int64(len(pvecs))}
+    for i, v in enumerate(pvecs):
+        arrs[f"pvec{i}"] = np.asarray(v)
+    if early is not None:
+        arrs["early_its"] = np.float64(early[0])
+        arrs["early_cg"] = np.int64(early[1])
+    tmp = path + ".tmp.npz"   # explicit .npz: savez appends it otherwise
+    np.savez(tmp, **arrs)
+    os.replace(tmp, path)
+
+
 def run_measurement():
     """Child-process entry: one full measurement, JSON on stdout."""
     nels = tuple(int(v) for v in
@@ -173,8 +210,10 @@ def run_measurement():
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
     with_phases = os.environ.get("BENCH_PHASES", "0") == "1"
     mg_dtype = os.environ.get("BENCH_MG_DTYPE", "")
+    ckpt_path = os.environ.get("BENCH_CKPT", "")
 
     import jax
+    import jax.numpy as jnp
 
     _enable_compilation_cache()
     log(f"devices: {jax.devices()}")
@@ -201,9 +240,9 @@ def run_measurement():
         preconditioner="multigrid", use_pallas_matvec=use_pallas,
         mg_cycle_dtype=mg_dtype,
         mg_galerkin=os.environ.get("BENCH_GALERKIN", "1") == "1",
-        mg_cycle=os.environ.get("BENCH_MG_CYCLE", "w"),
+        mg_cycle=os.environ.get("BENCH_MG_CYCLE", "v"),
         mg_smooth_iters=ast.literal_eval(
-            os.environ.get("BENCH_MG_SMOOTH", "1")))
+            os.environ.get("BENCH_MG_SMOOTH", "(1, 3)")))
     log(f"grid {nels} = {grid.n_cells} cells, {grid.n_dofs} dofs, "
         f"dtype {dtype}, pallas {use_pallas}")
 
@@ -219,31 +258,50 @@ def run_measurement():
     update_part = jax.jit(vs.step_update)
     f_ext, free_mask, vsens = vs.step_args
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
-    if vs.power_init is not None:
-        # Per-level programs, not the all-levels one-shot: the one-shot is
-        # the most fault-prone program class on the tunnel TPU (round-2/3
-        # flake data in memory/tpu-env-gotchas.md).
-        if getattr(vs, "power_init_split", None) is not None:
-            pvecs = vs.power_init_split(design, vs.step_args[1])
-        else:
-            pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
-        jax.block_until_ready(pvecs)  # drain before loading the next program
+    ck = _load_ckpt(ckpt_path, design)
+    early = None
+    if ck is not None:
+        # Resume a measurement a previous child carried partway before the
+        # TPU faulted: trajectory state + any already-recorded early stats.
+        design = jnp.asarray(np.asarray(ck["design"]), design.dtype)
+        u = jnp.asarray(np.asarray(ck["u"]), design.dtype)
+        pvecs = tuple(jnp.asarray(np.asarray(ck[f"pvec{i}"]), design.dtype)
+                      for i in range(int(ck["n_pvecs"])))
+        done_iters = int(ck["done_iters"])
+        if "early_its" in ck:
+            early = (float(ck["early_its"]), int(ck["early_cg"]))
+        log(f"resumed measurement from checkpoint at iter {done_iters}")
+    else:
+        done_iters = 0
+        if vs.power_init is not None:
+            # Per-level programs, not the all-levels one-shot: the one-shot
+            # is the most fault-prone program class on the tunnel TPU
+            # (round-2/3 flake data in memory/tpu-env-gotchas.md).
+            if getattr(vs, "power_init_split", None) is not None:
+                pvecs = vs.power_init_split(design, vs.step_args[1])
+            else:
+                pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
+            jax.block_until_ready(pvecs)  # drain before the next program
 
-    def one_step(design, u, pvecs, serialize=False):
+    first_exec = True
+
+    def one_step(design, u, pvecs):
+        nonlocal first_exec
         phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
             design, u, pvecs, f_ext, free_mask)
-        if serialize:
-            # First execution: drain the solve program before compiling/
-            # loading the update program — keeps program load and execution
-            # from overlapping on the device (suspected trigger of the
-            # first-execution "TPU device error" flake).
+        if first_exec:
+            # First execution in this process: drain the solve program
+            # before compiling/loading the update program — keeps program
+            # load and execution from overlapping on the device (suspected
+            # trigger of the first-execution "TPU device error" flake).
             jax.block_until_ready(u)
         new_design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
+        first_exec = False
         return new_design, u, pvecs, energy, cg_iters
 
-    design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs,
-                                                  serialize=True)
+    design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
     jax.block_until_ready(design)
+    done_iters += 1
     log(f"compile+first step: {time.time() - t0:.1f}s; "
         f"energy {float(energy):.6e} cg {int(cg_iters)}")
     if not np.isfinite(float(energy)):
@@ -254,23 +312,27 @@ def run_measurement():
         log("FIRST STEP PRODUCED NON-FINITE ENERGY — failing this attempt")
         sys.exit(3)
     compile_s = round(time.time() - t0, 1)
-    design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
-    jax.block_until_ready(design)
-    log(f"warm step 2: energy {float(energy):.6e} cg {int(cg_iters)}")
-    done_iters = 2
-
-    t0 = time.time()
-    for _ in range(n_timed):
+    while done_iters < 2:
         design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
-    jax.block_until_ready(design)
-    elapsed = time.time() - t0
-    done_iters += n_timed
-    early_cg = int(cg_iters)
+        jax.block_until_ready(design)
+        done_iters += 1
+        log(f"warm step {done_iters}: energy {float(energy):.6e} "
+            f"cg {int(cg_iters)}")
+    _save_ckpt(ckpt_path, design, u, pvecs, done_iters, early)
 
-    early_its = n_timed / elapsed
-    log(f"EARLY: {n_timed} SIMP iters in {elapsed:.2f}s -> "
-        f"{early_its:.2f} it/s; last solve: {early_cg} CG iters; "
-        f"energy {float(energy):.6e}")
+    if done_iters == 2:
+        # EARLY window: only timed when run in one piece from iteration 3.
+        t0 = time.time()
+        for _ in range(n_timed):
+            design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
+        jax.block_until_ready(design)
+        elapsed = time.time() - t0
+        done_iters += n_timed
+        early = (n_timed / elapsed, int(cg_iters))
+        log(f"EARLY: {n_timed} SIMP iters in {elapsed:.2f}s -> "
+            f"{early[0]:.2f} it/s; last solve: {early[1]} CG iters; "
+            f"energy {float(energy):.6e}")
+        _save_ckpt(ckpt_path, design, u, pvecs, done_iters, early)
 
     # Honest LATE-trajectory measurement: advance to a developed design
     # (SIMP contrast ~1e9 between void and solid instead of the mild
@@ -281,23 +343,37 @@ def run_measurement():
     late_its = late_cg = None
     if os.environ.get("BENCH_SKIP_LATE", "0") != "1" and \
             late_start > done_iters:
-        for _ in range(late_start - done_iters):
-            design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
-        jax.block_until_ready(design)
+        while done_iters < late_start:
+            chunk = min(8, late_start - done_iters)
+            for _ in range(chunk):
+                design, u, pvecs, energy, cg_iters = one_step(design, u,
+                                                              pvecs)
+            jax.block_until_ready(design)
+            done_iters += chunk
+            # Phase-boundary checkpoints: a fault costs <= 8 iterations,
+            # not the whole advance.
+            _save_ckpt(ckpt_path, design, u, pvecs, done_iters, early)
+        log(f"advanced to iter {done_iters}; cg {int(cg_iters)}")
+    if os.environ.get("BENCH_SKIP_LATE", "0") != "1" and \
+            done_iters >= late_start:
         t0 = time.time()
         for _ in range(n_timed):
             design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
         jax.block_until_ready(design)
         late_its = n_timed / (time.time() - t0)
         late_cg = int(cg_iters)
-        log(f"LATE (iters {late_start + 1}-{late_start + n_timed}): "
+        log(f"LATE (iters {done_iters + 1}-{done_iters + n_timed}): "
             f"{late_its:.2f} it/s; last solve: {late_cg} CG iters; "
             f"energy {float(energy):.6e}")
         if not np.isfinite(float(energy)):
             log("LATE TRAJECTORY NON-FINITE — failing this attempt")
             sys.exit(3)
 
+    early_its, early_cg = early if early is not None else (None, None)
     headline = late_its if late_its is not None else early_its
+    if headline is None:
+        log("no timed window completed (resumed past EARLY, LATE skipped)")
+        sys.exit(4)
     # JSON goes out BEFORE the optional phase breakdown: a TPU fault inside
     # the breakdown's extra programs must not discard a completed
     # measurement (it wedges the process, so guard + flush-first).
@@ -306,7 +382,8 @@ def run_measurement():
         "value": round(headline, 3),
         "unit": "iters/sec",
         "vs_baseline": round(headline / 5.0, 3),
-        "early_its": round(early_its, 3), "early_cg": early_cg,
+        "early_its": None if early_its is None else round(early_its, 3),
+        "early_cg": early_cg,
         "late_its": None if late_its is None else round(late_its, 3),
         "late_cg": late_cg, "late_start_iter": late_start,
         "compile_s": compile_s,
@@ -331,6 +408,14 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     t_start = time.time()
     attempt_log = []
+    # Cross-attempt measurement checkpoint: children save trajectory state
+    # at phase boundaries and resume it, so each TPU fault costs at most a
+    # few iterations instead of the whole ~60-iteration measurement.
+    ckpt = os.environ.get("BENCH_CKPT", "/tmp/easysimp_bench_ckpt.npz")
+    os.environ["BENCH_CKPT"] = ckpt
+    for stale in (ckpt, ckpt + ".tmp.npz"):
+        if os.path.exists(stale):
+            os.remove(stale)
     for k, (flag, name) in enumerate(attempts):
         if k:
             name = f"{name} (attempt {k + 1})"
