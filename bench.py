@@ -179,23 +179,25 @@ def _load_ckpt(path, design0):
     return ck
 
 
-def _save_ckpt(path, design, u, pvecs, done_iters, early):
-    """Atomic device->host checkpoint between measurement phases.
+def _save_ckpt(path, design, u, pvecs, done_iters, early_t, late_t, cgs):
+    """Atomic device->host checkpoint of the measurement state.
 
     The tunnel TPU currently faults heavy programs at arbitrary points
     (round-3: mid-timed-loop, after 2+ clean executions — ~35-50 min of
-    retries lost per attempt without this).  ~35 MB fetched at phase
-    boundaries only, never inside a timed window."""
+    retries lost per attempt without this).  Holds the trajectory arrays
+    AND the per-iteration timing samples collected so far, so every
+    completed iteration contributes to the final figure no matter how
+    many child processes the faults consume."""
     if not path:
         return
     arrs = {"design": np.asarray(design), "u": np.asarray(u),
             "done_iters": np.int64(done_iters),
-            "n_pvecs": np.int64(len(pvecs))}
+            "n_pvecs": np.int64(len(pvecs)),
+            "early_t": np.asarray(early_t, dtype=np.float64),
+            "late_t": np.asarray(late_t, dtype=np.float64),
+            "cgs": np.asarray(cgs, dtype=np.int64)}
     for i, v in enumerate(pvecs):
         arrs[f"pvec{i}"] = np.asarray(v)
-    if early is not None:
-        arrs["early_its"] = np.float64(early[0])
-        arrs["early_cg"] = np.int64(early[1])
     tmp = path + ".tmp.npz"   # explicit .npz: savez appends it otherwise
     np.savez(tmp, **arrs)
     os.replace(tmp, path)
@@ -215,6 +217,10 @@ def run_measurement():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_PLATFORM"):
+        # Local validation of the bench flow itself (the JAX_PLATFORMS env
+        # var is ignored by the site hook — must be the config update).
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     _enable_compilation_cache()
     log(f"devices: {jax.devices()}")
 
@@ -259,18 +265,21 @@ def run_measurement():
     f_ext, free_mask, vsens = vs.step_args
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
     ck = _load_ckpt(ckpt_path, design)
-    early = None
+    early_t, late_t, cgs = [], [], []
     if ck is not None:
         # Resume a measurement a previous child carried partway before the
-        # TPU faulted: trajectory state + any already-recorded early stats.
+        # TPU faulted: trajectory state + per-iteration timing samples.
         design = jnp.asarray(np.asarray(ck["design"]), design.dtype)
         u = jnp.asarray(np.asarray(ck["u"]), design.dtype)
         pvecs = tuple(jnp.asarray(np.asarray(ck[f"pvec{i}"]), design.dtype)
                       for i in range(int(ck["n_pvecs"])))
         done_iters = int(ck["done_iters"])
-        if "early_its" in ck:
-            early = (float(ck["early_its"]), int(ck["early_cg"]))
-        log(f"resumed measurement from checkpoint at iter {done_iters}")
+        for key, dst in (("early_t", early_t), ("late_t", late_t),
+                         ("cgs", cgs)):
+            if key in ck:   # absent in pre-sample-format checkpoints
+                dst.extend(np.asarray(ck[key]).tolist())
+        log(f"resumed measurement from checkpoint at iter {done_iters} "
+            f"({len(early_t)} early + {len(late_t)} late samples)")
     else:
         done_iters = 0
         if vs.power_init is not None:
@@ -299,6 +308,10 @@ def run_measurement():
         first_exec = False
         return new_design, u, pvecs, energy, cg_iters
 
+    def save():
+        _save_ckpt(ckpt_path, design, u, pvecs, done_iters, early_t,
+                   late_t, cgs)
+
     design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
     jax.block_until_ready(design)
     done_iters += 1
@@ -312,37 +325,42 @@ def run_measurement():
         log("FIRST STEP PRODUCED NON-FINITE ENERGY — failing this attempt")
         sys.exit(3)
     compile_s = round(time.time() - t0, 1)
-    while done_iters < 2:
+    save()
+
+    # The timed windows collect PER-ITERATION wall times (each iteration
+    # synced with block_until_ready), checkpointed as they accumulate:
+    # under the round-3 tunnel fault regime a 10-iteration unbroken window
+    # may never complete, but every finished iteration's sample survives
+    # into the next attempt.  Per-iteration sync costs only the ~ms
+    # dispatch pipelining between genuinely data-dependent iterations.
+    late_start = int(os.environ.get("BENCH_LATE_START", "50"))
+    skip_late = os.environ.get("BENCH_SKIP_LATE", "0") == "1"
+    early_end = 2 + n_timed
+
+    def timed_step(design, u, pvecs, samples):
+        t1 = time.time()
         design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
         jax.block_until_ready(design)
-        done_iters += 1
-        log(f"warm step {done_iters}: energy {float(energy):.6e} "
-            f"cg {int(cg_iters)}")
-    _save_ckpt(ckpt_path, design, u, pvecs, done_iters, early)
+        samples.append(time.time() - t1)
+        cgs.append(int(cg_iters))
+        return design, u, pvecs, energy, cg_iters
 
-    if done_iters == 2:
-        # EARLY window: only timed when run in one piece from iteration 3.
-        t0 = time.time()
-        for _ in range(n_timed):
-            design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
-        jax.block_until_ready(design)
-        elapsed = time.time() - t0
-        done_iters += n_timed
-        early = (n_timed / elapsed, int(cg_iters))
-        log(f"EARLY: {n_timed} SIMP iters in {elapsed:.2f}s -> "
-            f"{early[0]:.2f} it/s; last solve: {early[1]} CG iters; "
+    while done_iters < early_end and len(early_t) < n_timed:
+        design, u, pvecs, energy, cg_iters = timed_step(design, u, pvecs,
+                                                        early_t)
+        done_iters += 1
+        save()
+    if early_t:
+        log(f"EARLY: {len(early_t)} samples -> "
+            f"{len(early_t) / sum(early_t):.2f} it/s; cg {int(cg_iters)}; "
             f"energy {float(energy):.6e}")
-        _save_ckpt(ckpt_path, design, u, pvecs, done_iters, early)
 
     # Honest LATE-trajectory measurement: advance to a developed design
     # (SIMP contrast ~1e9 between void and solid instead of the mild
     # contrast of iterations 3-12), then time again.  The reported headline
     # value is the LATE figure — the one a real 50+-iteration optimization
     # actually sustains (round-2 VERDICT item 4).
-    late_start = int(os.environ.get("BENCH_LATE_START", "50"))
-    late_its = late_cg = None
-    if os.environ.get("BENCH_SKIP_LATE", "0") != "1" and \
-            late_start > done_iters:
+    if not skip_late:
         while done_iters < late_start:
             chunk = min(8, late_start - done_iters)
             for _ in range(chunk):
@@ -350,29 +368,28 @@ def run_measurement():
                                                               pvecs)
             jax.block_until_ready(design)
             done_iters += chunk
-            # Phase-boundary checkpoints: a fault costs <= 8 iterations,
-            # not the whole advance.
-            _save_ckpt(ckpt_path, design, u, pvecs, done_iters, early)
-        log(f"advanced to iter {done_iters}; cg {int(cg_iters)}")
-    if os.environ.get("BENCH_SKIP_LATE", "0") != "1" and \
-            done_iters >= late_start:
-        t0 = time.time()
-        for _ in range(n_timed):
-            design, u, pvecs, energy, cg_iters = one_step(design, u, pvecs)
-        jax.block_until_ready(design)
-        late_its = n_timed / (time.time() - t0)
-        late_cg = int(cg_iters)
-        log(f"LATE (iters {done_iters + 1}-{done_iters + n_timed}): "
-            f"{late_its:.2f} it/s; last solve: {late_cg} CG iters; "
+            # a fault costs <= 8 iterations, not the whole advance
+            save()
+        while len(late_t) < n_timed:
+            design, u, pvecs, energy, cg_iters = timed_step(design, u,
+                                                            pvecs, late_t)
+            done_iters += 1
+            save()
+        log(f"LATE (from iter {late_start + 1}): {len(late_t)} samples -> "
+            f"{len(late_t) / sum(late_t):.2f} it/s; cg {int(cg_iters)}; "
             f"energy {float(energy):.6e}")
         if not np.isfinite(float(energy)):
             log("LATE TRAJECTORY NON-FINITE — failing this attempt")
             sys.exit(3)
 
-    early_its, early_cg = early if early is not None else (None, None)
+    early_its = len(early_t) / sum(early_t) if early_t else None
+    early_cg = (int(cgs[len(early_t) - 1])
+                if early_t and len(cgs) >= len(early_t) else None)
+    late_its = len(late_t) / sum(late_t) if late_t else None
+    late_cg = int(cgs[-1]) if cgs else None
     headline = late_its if late_its is not None else early_its
     if headline is None:
-        log("no timed window completed (resumed past EARLY, LATE skipped)")
+        log("no timed samples collected")
         sys.exit(4)
     # JSON goes out BEFORE the optional phase breakdown: a TPU fault inside
     # the breakdown's extra programs must not discard a completed
@@ -404,7 +421,7 @@ def main():
     # the fused path several times (compiles are cheap now that the
     # persistent cache works), with a settle delay between attempts,
     # before falling back to the XLA path.
-    attempts = [("1", "fused Pallas matvec")] * 6 + [("0", "XLA matvec")]
+    attempts = [("1", "fused Pallas matvec")] * 6 + [("0", "XLA matvec")] * 2
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     t_start = time.time()
     attempt_log = []
@@ -455,8 +472,53 @@ def main():
             print(json.dumps(payload), flush=True)
             return
         log(f"attempt '{name}' failed (rc={proc.returncode}); retrying")
+    if _emit_from_checkpoint(ckpt, attempt_log):
+        return
     log("all attempts failed")
     sys.exit(1)
+
+
+def _emit_from_checkpoint(ckpt, attempt_log):
+    """Last-resort JSON from the per-iteration samples the children banked.
+
+    Under the round-3 fault regime no single child may survive long enough
+    to finish a phase, but every completed iteration's wall time is in the
+    checkpoint — so the measurement those iterations represent is still
+    reportable (flagged `from_checkpoint` so the artifact is honest about
+    how it was obtained)."""
+    if not os.path.exists(ckpt):
+        return False
+    try:
+        ck = dict(np.load(ckpt, allow_pickle=False))
+    except Exception as e:  # noqa: BLE001 — diagnostics-path only
+        log(f"checkpoint fallback unreadable: {e}")
+        return False
+    early_t = np.asarray(ck.get("early_t", []), dtype=np.float64)
+    late_t = np.asarray(ck.get("late_t", []), dtype=np.float64)
+    cgs = np.asarray(ck.get("cgs", []), dtype=np.int64)
+    samples = late_t if late_t.size else early_t
+    if not samples.size:
+        return False
+    nels = tuple(int(v) for v in
+                 os.environ.get("BENCH_NELS", "128,128,128").split(","))
+    headline = samples.size / float(samples.sum())
+    log(f"all attempts faulted; reporting {samples.size} banked "
+        f"{'late' if late_t.size else 'early'} samples from the checkpoint")
+    print(json.dumps({
+        "metric": "simp_iterations_per_sec_{}x{}x{}".format(*nels),
+        "value": round(headline, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(headline / 5.0, 3),
+        "early_its": (round(early_t.size / float(early_t.sum()), 3)
+                      if early_t.size else None),
+        "early_cg": (int(cgs[early_t.size - 1])
+                     if early_t.size and cgs.size >= early_t.size else None),
+        "late_its": (round(late_t.size / float(late_t.sum()), 3)
+                     if late_t.size else None),
+        "late_cg": int(cgs[-1]) if cgs.size else None,
+        "from_checkpoint": True, "attempts": attempt_log,
+    }), flush=True)
+    return True
 
 
 if __name__ == "__main__":

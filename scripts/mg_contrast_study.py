@@ -36,7 +36,11 @@ CONFIGS = {
     "arithmetic_v22": (False, "v", 2),
     "galerkin_v1": (True, "v", 1),
     "galerkin_v13": (True, "v", (1, 3)),
+    "galerkin_v14": (True, "v", (1, 4)),
+    "galerkin_v15": (True, "v", (1, 5)),
+    "galerkin_v23": (True, "v", (2, 3)),
     "galerkin_w1": (True, "w", 1),
+    "galerkin_w13": (True, "w", (1, 3)),
 }
 
 
