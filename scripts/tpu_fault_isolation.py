@@ -17,7 +17,13 @@ Usage: python scripts/tpu_fault_isolation.py <mode>
   step_full / step_noen / sens_path / oc_path / sens_oc   step compositions
   upd           step_update (sens+filter+OC) alone, timed
   oc_plus_mv    single matvec + OC bisection in one program
-Env: KT_NELS=nx,ny,nz (default 128^3), EASYSIMP_PALLAS_MIN_DIM/_VMEM_MB.
+  gal_build     Galerkin stencil build (_prep_levels) alone, x10
+  gal_apply     level-1 stencil apply alone, x20
+  gal_cho       stencil build + stencil_to_dense + Cholesky + solve, x10
+  gal_vcycle    MG setup once, then the V-cycle M(r) x10 (own program)
+  gal_solve     step_solve (filter + MG-CG) alone, x5 warm executions
+Env: KT_NELS=nx,ny,nz (default 128^3), KT_GALERKIN=0/1, KT_SMOOTH="(1, 3)",
+     KT_CYCLE=v|w, EASYSIMP_PALLAS_MIN_DIM/_VMEM_MB.
 """
 import os, sys, time
 import pathlib
@@ -30,6 +36,10 @@ mode = sys.argv[1]
 nels = tuple(int(v) for v in os.environ.get("KT_NELS", "128,128,128").split(","))
 
 import jax
+if os.environ.get("KT_PLATFORM"):
+    # CPU validation of the harness itself (JAX_PLATFORMS env is ignored by
+    # the site hook — must be the explicit config update).
+    jax.config.update("jax_platforms", os.environ["KT_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                  "/tmp/jax_comp_cache"))
@@ -87,7 +97,7 @@ elif mode == "mv_loop":
 print("OK", mode, flush=True)
 
 def build_step(use_pallas=True, mg_dtype=""):
-    import easysimp_tpu as et2
+    import ast
     from easysimp_tpu.opt.optimize import build_voxel_step
     nx, ny, nz = nels
     g = et.generate_grid(nels, (0.0, 0.0, 0.0), tuple(float(n) for n in nels))
@@ -97,6 +107,9 @@ def build_step(use_pallas=True, mg_dtype=""):
         volume_fraction=0.3, filter_radius=1.5, dtype="float32", cg_rtol=1e-5,
         cg_maxiter=500, preconditioner="multigrid", use_pallas_matvec=use_pallas,
         mg_cycle_dtype=mg_dtype,
+        mg_galerkin=os.environ.get("KT_GALERKIN", "1") == "1",
+        mg_cycle=os.environ.get("KT_CYCLE", "v"),
+        mg_smooth_iters=ast.literal_eval(os.environ.get("KT_SMOOTH", "(1, 3)")),
         mg_levels=int(os.environ.get("KT_MG_LEVELS", "0")))
     return build_voxel_step(g, [load], [bc], params)
 
@@ -392,6 +405,107 @@ if mode == "step_split":
         print(f"split step {k}: energy {float(energy):.6e} cg {int(cg_iters)}",
               flush=True)
     print("step_split OK", flush=True)
+
+if mode.startswith("gal_") and mode != "gal_solve":
+    # Galerkin-path compositions (round-3: the Galerkin step_solve faults on
+    # TPU where the identical arithmetic-coarsening program runs clean —
+    # these modes bisect WHICH stencil op-class triggers it).
+    import ast
+    from easysimp_tpu.ops.multigrid import MultigridPreconditioner
+    from easysimp_tpu.ops import stencil as stn
+    if os.environ.get("KT_PALLAS", "1") == "1":
+        from easysimp_tpu.ops.pallas_kernels import install_fused_matvec
+        install_fused_matvec(op)
+    mg = MultigridPreconditioner(
+        op,
+        smooth_iters=ast.literal_eval(os.environ.get("KT_SMOOTH", "(1, 3)")),
+        galerkin=True, cycle=os.environ.get("KT_CYCLE", "v"))
+    print(f"gal levels: {mg.n_levels}", flush=True)
+    mask = jnp.ones((*grid.nnodes_per_axis, 3), jnp.float32).at[0].set(0.0)
+
+    if mode == "gal_build":
+        prep = jax.jit(mg._prep_levels)
+        out = prep(scale, mask); jax.block_until_ready(out)
+        print(f"gal_build compile+run {time.time()-t0:.1f}s", flush=True)
+        for k in range(10):
+            out = prep(scale, mask)
+            jax.block_until_ready(out)
+        s1 = out[2][1]
+        print(f"gal_build x10 OK; |S1| {float(jnp.linalg.norm(s1)):.6e}",
+              flush=True)
+    elif mode == "gal_apply":
+        prep = jax.jit(mg._prep_levels)
+        scales, masks, stencils = prep(scale, mask)
+        jax.block_until_ready(stencils[1])
+        ap = jax.jit(stn.apply_stencil)
+        v1 = jnp.asarray(rng.standard_normal(stencils[1].shape[3:6] + (3,)),
+                         jnp.float32)
+        w = ap(stencils[1], v1); jax.block_until_ready(w)
+        print(f"gal_apply compile+run {time.time()-t0:.1f}s; "
+              f"|w| {float(jnp.linalg.norm(w)):.6e}", flush=True)
+        t0 = time.time()
+        for _ in range(20):
+            w = ap(stencils[1], w / jnp.linalg.norm(w))
+        jax.block_until_ready(w)
+        print(f"gal_apply x20 OK: {(time.time()-t0)/20*1e3:.2f} ms each",
+              flush=True)
+    elif mode == "gal_cho":
+        @jax.jit
+        def prog(scale, mask, r):
+            scales, masks, stencils = mg._prep_levels(scale, mask)
+            cho, dinv = mg._scaled_cholesky(stn.stencil_to_dense(stencils[-1]))
+            x = dinv * jax.scipy.linalg.cho_solve(cho, dinv * r)
+            return x
+        nn = mg.ops[-1].grid.nnodes_per_axis
+        r = jnp.asarray(rng.standard_normal(3 * int(np.prod(nn))), jnp.float32)
+        x = prog(scale, mask, r); jax.block_until_ready(x)
+        print(f"gal_cho compile+run {time.time()-t0:.1f}s; "
+              f"|x| {float(jnp.linalg.norm(x)):.6e}", flush=True)
+        for _ in range(10):
+            x = prog(scale, mask, x / jnp.linalg.norm(x))
+        jax.block_until_ready(x)
+        print("gal_cho x10 OK", flush=True)
+    elif mode == "gal_vcycle":
+        setup = jax.jit(lambda s, m: mg.setup(s, m)[0])
+        state = setup(scale, mask)
+        jax.block_until_ready(state["lams"])
+        print(f"gal_vcycle setup {time.time()-t0:.1f}s", flush=True)
+        # cho_factor's `lower` flag must be STATIC inside the second program
+        # (it crossed the jit boundary as an array): rebuild with the
+        # default upper=False literal.
+        vc = jax.jit(lambda st, r: mg._vcycle(
+            0, {**st, "cho": ((st["cho"][0][0], False), st["cho"][1])}, r))
+        r = jnp.asarray(rng.standard_normal((*grid.nnodes_per_axis, 3)),
+                        jnp.float32) * mask
+        t0 = time.time()
+        x = vc(state, r); jax.block_until_ready(x)
+        print(f"gal_vcycle compile+run {time.time()-t0:.1f}s; "
+              f"|x| {float(jnp.linalg.norm(x)):.6e}", flush=True)
+        t0 = time.time()
+        for _ in range(10):
+            x = vc(state, r)
+        jax.block_until_ready(x)
+        print(f"gal_vcycle x10 OK: {(time.time()-t0)/10*1e3:.2f} ms each",
+              flush=True)
+
+if mode == "gal_solve":
+    vs = build_step(os.environ.get("KT_PALLAS", "1") == "1")
+    f_ext, free_mask, vsens = vs.step_args
+    pv = vs.pvecs0
+    if vs.power_init_split is not None:
+        pv = vs.power_init_split(vs.design0, free_mask)
+    sol = jax.jit(vs.step_solve)
+    design, uu = vs.design0, vs.u0
+    out = sol(design, uu, pv, f_ext, free_mask)
+    jax.block_until_ready(out[1])
+    print(f"gal_solve compile+run {time.time()-t0:.1f}s: "
+          f"energy {float(out[2]):.6e} cg {int(out[4])}", flush=True)
+    for k in range(5):
+        out = sol(design, out[1], out[-1], f_ext, free_mask)
+        jax.block_until_ready(out[1])
+        print(f"gal_solve warm {k + 1}: cg {int(out[4])}", flush=True)
+    print("gal_solve OK", flush=True)
+
 
 def _forward_parts(vs):
     f_ext, free_mask, vsens = vs.step_args
