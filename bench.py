@@ -262,6 +262,20 @@ def run_measurement():
     # jit), and XLA reuses the freed buffers anyway at these sizes.
     solve_part = jax.jit(vs.step_solve)
     update_part = jax.jit(vs.step_update)
+    # THREE-program iteration (precond-setup | MG-CG | update) when the
+    # builder provides the finer split: the Galerkin stencil build + power
+    # refresh + coarsest factorization compiled into the SAME program as
+    # the Pallas MG-CG solve faults the tunnel TPU on essentially every
+    # first execution (round-3; the per-class isolation runs gal_build /
+    # gal_vcycle each pass solo — program-complexity-dependent faults,
+    # memory/tpu-env-gotchas.md).  BENCH_SPLIT3=0 forces the two-program
+    # form for A/B.
+    use_split3 = (os.environ.get("BENCH_SPLIT3", "1") == "1"
+                  and getattr(vs, "step_precond", None) is not None)
+    if use_split3:
+        pre_part = jax.jit(vs.step_precond)
+        cg_part = jax.jit(vs.step_cg)
+        log("using three-program step split (precond | cg | update)")
     f_ext, free_mask, vsens = vs.step_args
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
     ck = _load_ckpt(ckpt_path, design)
@@ -296,13 +310,20 @@ def run_measurement():
 
     def one_step(design, u, pvecs):
         nonlocal first_exec
-        phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
-            design, u, pvecs, f_ext, free_mask)
+        if use_split3:
+            phys, state, pvecs = pre_part(design, pvecs, free_mask)
+            if first_exec:
+                jax.block_until_ready(pvecs)
+            u, energy, volume, cg_iters, cg_res = cg_part(
+                design, phys, state, u, f_ext, free_mask)
+        else:
+            phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
+                design, u, pvecs, f_ext, free_mask)
         if first_exec:
-            # First execution in this process: drain the solve program
-            # before compiling/loading the update program — keeps program
-            # load and execution from overlapping on the device (suspected
-            # trigger of the first-execution "TPU device error" flake).
+            # First execution in this process: drain each program before
+            # compiling/loading the next — keeps program load and execution
+            # from overlapping on the device (suspected trigger of the
+            # first-execution "TPU device error" flake).
             jax.block_until_ready(u)
         new_design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
         first_exec = False

@@ -91,10 +91,27 @@ def restrict(xf):
     return xf
 
 
-def coarsen_cells(scale):
-    """Average element field over 2x2x2 children (modulus coarsening)."""
+def coarsen_cells(scale, rule: str = "arithmetic"):
+    """Coarsen an element field over 2x2x2 children (modulus coarsening).
+
+    rule: "arithmetic" (round-1/2 default), "harmonic" (reciprocal mean of
+    reciprocals — resolves stiff/soft interfaces the arithmetic mean smears
+    at high SIMP contrast), or "mixed" (mean of both — the classical
+    compromise between the arithmetic upper and harmonic lower bounds on
+    the effective modulus).  All stay elementwise (no log/exp: TPU fault
+    lore, memory/tpu-env-gotchas.md) and preserve positivity for E >= Emin.
+    """
     nx, ny, nz = scale.shape
-    return scale.reshape(nx // 2, 2, ny // 2, 2, nz // 2, 2).mean(axis=(1, 3, 5))
+    blocks = scale.reshape(nx // 2, 2, ny // 2, 2, nz // 2, 2)
+    arith = blocks.mean(axis=(1, 3, 5))
+    if rule == "arithmetic":
+        return arith
+    harm = 1.0 / (1.0 / blocks).mean(axis=(1, 3, 5))
+    if rule == "harmonic":
+        return harm
+    if rule == "mixed":
+        return 0.5 * (arith + harm)
+    raise ValueError(f"unknown coarsening rule {rule!r}")
 
 
 def coarsen_mask(mask):
@@ -109,7 +126,7 @@ class MultigridPreconditioner:
                  smooth_iters: int = 1, power_iters: int = 10,
                  refresh_iters: int = 2, cycle_dtype=None,
                  smoother: str = "chebyshev", galerkin: bool = True,
-                 cycle: str = "v"):
+                 cycle: str = "v", coarsen: str = "arithmetic"):
         # smooth_iters: int (same Chebyshev degree everywhere) or a sequence
         # of per-level degrees (last entry repeats for deeper levels) —
         # stronger coarse smoothing buys W-cycle-like robustness at V-cycle
@@ -125,6 +142,7 @@ class MultigridPreconditioner:
         self.smoother = smoother
         self.cycle = cycle
         self.galerkin = bool(galerkin)
+        self.coarsen = coarsen
         # power_iters>0: estimate lambda_max by power iteration (~power_iters
         # matvecs/level); 0 uses the free Gershgorin bound, whose ~1.5-2x
         # overestimate costs CG iterations.  Measured on a realistic
@@ -275,7 +293,7 @@ class MultigridPreconditioner:
     def _coarsen_fields(self, scale, free_mask):
         scales, masks = [scale], [free_mask]
         for lvl in range(1, self.n_levels):
-            scales.append(coarsen_cells(scales[-1]))
+            scales.append(coarsen_cells(scales[-1], self.coarsen))
             masks.append(coarsen_mask(masks[-1]))
         return scales, masks
 

@@ -10,10 +10,19 @@ coefficients C_o(n) in R^{3x3}, one per offset o in {-1,0,1}^3:
 with KE[a, b] the 3x3 block of the unit-modulus element stiffness for local
 corners a, b (ops/elements.py HEX_CORNERS order).
 
-Why this exists: the multigrid coarse operators.  Rediscretizing coarse
-levels with arithmetically-averaged moduli (ops/multigrid.py round 1-2) loses
-the fine void/solid interfaces, and CG grows 10 -> 34+ iterations as the SIMP
-contrast develops (the reference's CHOLMOD direct solve at
+Storage layout (TPU-critical): C is (3, 3, 3, 3, 3, nnx, nny, nnz) =
+[ox+1, oy+1, oz+1, i, j, x, y, z] — 243 SCALAR coefficient fields with the
+SPATIAL dims minor.  The apply is then 243 elementwise multiply-adds over
+spatial-minor fields, which tiles perfectly onto the VPU's (8, 128) lanes.
+The round-3 first cut stored blocks minor — (..., nnx, nny, nnz, 3, 3) with
+einsum('...ij,...j->...i') applies — and measured 27 ms per level-1 apply at
+128^3 on the TPU (the (3, 3)-minor layout defeats tiling entirely); this
+layout exists to fix that.
+
+Why this module exists: the multigrid coarse operators.  Rediscretizing
+coarse levels with arithmetically-averaged moduli (ops/multigrid.py round
+1-2) loses the fine void/solid interfaces, and CG grows 10 -> 34+ iterations
+as the SIMP contrast develops (the reference's CHOLMOD direct solve at
 src/Optimization/Optimization.jl:317 has no such growth — this is the gap
 that closes it).  The variational (Galerkin) coarse operator A_c = P^T A P
 with the trilinear prolongation P is again a 27-point block stencil on the
@@ -21,7 +30,7 @@ coarse node grid, computable field-wise:
 
   * level 1 comes straight from the FINE element modulus field through one
     stride-2 kernel-4^3 convolution (`level1_stencil_from_scale`) — the fine
-    stencil (27x9 fields at fine resolution, ~2 GB at 128^3) is never
+    stencil (243 fields at fine resolution, ~2 GB at 128^3) is never
     materialized;
   * deeper levels coarsen stencil -> stencil by the axis-separable RAP
     (`coarsen_stencil_axis`), exact because the trilinear P factors per axis.
@@ -81,11 +90,13 @@ def _valid_corner_pairs(o):
 
 def assemble_node_stencil(scale, ke):
     """Element modulus field (nx, ny, nz) -> node stencil
-    (3, 3, 3, nnx, nny, nnz, 3, 3); C[ox+1, oy+1, oz+1] is C_o.
+    (3, 3, 3, 3, 3, nnx, nny, nnz); C[ox+1, oy+1, oz+1, i, j] is the (i, j)
+    entry of C_o as a spatial field.
 
     Boundary behavior: offsets pointing outside the grid get exactly-zero
-    blocks (the zero-padded scale kills them), so `apply_stencil` needs no
-    boundary cases.  Matches the scipy-assembled K (tests/test_stencil.py).
+    coefficients (the zero-padded scale kills them), so `apply_stencil`
+    needs no boundary cases.  Matches the scipy-assembled K
+    (tests/test_stencil.py).
     """
     KE = ke_corner_blocks(ke)
     nx, ny, nz = scale.shape
@@ -102,11 +113,24 @@ def assemble_node_stencil(scale, ke):
                     sl = sp[1 - a[0]: 2 - a[0] + nx,
                             1 - a[1]: 2 - a[1] + ny,
                             1 - a[2]: 2 - a[2] + nz]
-                    term = sl[..., None, None] * blk
+                    term = blk[:, :, None, None, None] * sl[None, None]
                     acc = term if acc is None else acc + term
                 rows.append(acc)
     C = jnp.stack(rows)
     return C.reshape(3, 3, 3, *C.shape[1:])
+
+
+def _shifted_views(fp, shape3):
+    """All 27 shifted views of a once-padded leading-batched field
+    fp = pad(f, [(0,0), (1,1), (1,1), (1,1)]); returns the [o...]-stacked
+    (3, 3, 3, B, nnx, nny, nnz) array of f(n + o)."""
+    nnx, nny, nnz = shape3
+    views = [
+        fp[:, 1 + ox: 1 + ox + nnx, 1 + oy: 1 + oy + nny,
+           1 + oz: 1 + oz + nnz]
+        for ox in _OFF for oy in _OFF for oz in _OFF
+    ]
+    return jnp.stack(views).reshape(3, 3, 3, *views[0].shape)
 
 
 def fold_bc_into_stencil(C, free_mask):
@@ -118,47 +142,51 @@ def fold_bc_into_stencil(C, free_mask):
     identical to VoxelOperator.apply (ops/operator.py:137-139) on the free
     subspace, with no separate mask multiplications in the hot path.
     """
-    m = free_mask
-    nnx, nny, nnz = m.shape[:3]
-    mp = jnp.pad(m, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    shifted = jnp.stack([
-        mp[1 + ox: 1 + ox + nnx, 1 + oy: 1 + oy + nny, 1 + oz: 1 + oz + nnz]
-        for ox in _OFF for oy in _OFF for oz in _OFF
-    ]).reshape(3, 3, 3, nnx, nny, nnz, 3)
-    C = C * m[None, None, None, ..., :, None] * shifted[..., None, :]
+    nnx, nny, nnz = free_mask.shape[:3]
+    m = jnp.moveaxis(free_mask, -1, 0)                 # (3, nnx, nny, nnz)
+    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    shifted = _shifted_views(mp, (nnx, nny, nnz))      # [o..., j, spatial]
+    C = C * m[None, None, None, :, None] * shifted[:, :, :, None]
     eye = jnp.eye(3, dtype=C.dtype)
-    C = C.at[1, 1, 1].add((1.0 - m)[..., :, None] * eye)
+    C = C.at[1, 1, 1].add(eye[:, :, None, None, None]
+                          * (1.0 - m)[:, None])
     return C
 
 
 def apply_stencil(C, u):
-    """(K u)(n) = sum_o C_o(n) @ u(n + o); u is (nnx, nny, nnz, 3)."""
+    """(K u)(n) = sum_o C_o(n) @ u(n + o); u is (nnx, nny, nnz, 3).
+
+    243 elementwise multiply-adds over spatial-minor fields — pure VPU work
+    with no layout changes (the im2col/einsum alternatives relayout the
+    (3, 3) block dims and measured 27 ms/apply at 128^3 level 1 on TPU vs
+    the HBM-bandwidth cost of ~2 ms for this form)."""
     nnx, nny, nnz = u.shape[:3]
-    up = jnp.pad(u, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    out = None
-    for ox in _OFF:
-        for oy in _OFF:
-            for oz in _OFF:
-                us = up[1 + ox: 1 + ox + nnx,
-                        1 + oy: 1 + oy + nny,
-                        1 + oz: 1 + oz + nnz]
-                # HIGHEST is load-bearing on TPU (CLAUDE.md fp32 lore): the
-                # default single-pass bf16 contraction degrades the operator
-                term = jnp.einsum("...ij,...j->...i",
-                                  C[ox + 1, oy + 1, oz + 1], us,
-                                  precision=lax.Precision.HIGHEST)
-                out = term if out is None else out + term
-    return out
+    uf = jnp.moveaxis(u, -1, 0)                        # (3, nnx, nny, nnz)
+    up = jnp.pad(uf, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    comps = []
+    for i in range(3):
+        acc = None
+        for ox in _OFF:
+            for oy in _OFF:
+                for oz in _OFF:
+                    for j in range(3):
+                        us = up[j, 1 + ox: 1 + ox + nnx,
+                                1 + oy: 1 + oy + nny,
+                                1 + oz: 1 + oz + nnz]
+                        term = C[ox + 1, oy + 1, oz + 1, i, j] * us
+                        acc = term if acc is None else acc + term
+        comps.append(acc)
+    return jnp.stack(comps, axis=-1)
 
 
 def stencil_diagonal(C):
     """diag of the operator as a node field (nnx, nny, nnz, 3)."""
-    return jnp.einsum("...ii->...i", C[1, 1, 1])
+    return jnp.stack([C[1, 1, 1, i, i] for i in range(3)], axis=-1)
 
 
 def stencil_row_abs_sums(C):
     """sum_j |K_ij| per row as a node field — Gershgorin data."""
-    return jnp.sum(jnp.abs(C), axis=(0, 1, 2, -1))
+    return jnp.moveaxis(jnp.sum(jnp.abs(C), axis=(0, 1, 2, 4)), 0, -1)
 
 
 def coarsen_stencil_axis(C, axis: int):
@@ -173,14 +201,14 @@ def coarsen_stencil_axis(C, axis: int):
     The fine node count along `axis` must be odd (element count even —
     guaranteed by the multigrid `_can_coarsen` gate).
     """
-    sdim = 3 + axis
+    sdim = 5 + axis
     nf = C.shape[sdim]
     if nf % 2 != 1:
         raise ValueError(f"fine node count {nf} along axis {axis} must be odd")
     nc = (nf - 1) // 2 + 1
     # Move the strided spatial axis to the FRONT and stride on the leading
     # dim (the `_restrict_axis` pattern, ops/multigrid.py).  NOT slice_in_dim
-    # on the middle dim of the rank-8 tensor: that form MISCOMPILES on TPU
+    # on an interior dim of the rank-8 tensor: that form MISCOMPILES on TPU
     # when the input carries an in-program (transpose-fused) layout —
     # deterministically wrong coarse stencils, correct when the same slice
     # runs in its own program (round-3 root cause of the 128^3 NaN solves).
@@ -250,10 +278,12 @@ def level1_weights(ke) -> np.ndarray:
 
 def level1_stencil_from_scale(scale, G, precision=lax.Precision.HIGHEST):
     """Fine element moduli (nx, ny, nz) -> level-1 Galerkin stencil
-    (3, 3, 3, ncx+1, ncy+1, ncz+1, 3, 3): stack the 64 stride-2 shifted
-    views of the (zero-padded) scale field, then ONE (n_coarse_nodes, 64) @
-    (64, 243) MXU matmul against the precomputed weight matrix — the
-    im2col form of a stride-2 4^3-kernel conv.
+    (3, 3, 3, 3, 3, ncx+1, ncy+1, ncz+1): stack the 64 stride-2 shifted
+    views of the (zero-padded) scale field, then ONE (243, 64) @
+    (64, n_coarse_nodes) MXU matmul against the precomputed weight matrix —
+    the im2col form of a stride-2 4^3-kernel conv, oriented so the result
+    lands DIRECTLY in the coefficient-major spatial-minor storage layout
+    (no 267 MB post-transpose).
 
     NOT lax.conv on purpose: on TPU, the 243-channel conv fused into the
     same XLA program as the downstream strided-slice RAP ops miscompiled
@@ -276,24 +306,28 @@ def level1_stencil_from_scale(scale, G, precision=lax.Precision.HIGHEST):
                                 sy: sy + 2 * ncny - 1: 2,
                                 sz: sz + 2 * ncnz - 1: 2])
     S = jnp.stack(views).reshape(64, -1)               # (64, n_coarse_nodes)
-    # weights [s, oc] with s = (sx, sy, sz), oc = (O-major, i, j)
+    # weights [oc, s] with oc = (O-major, i, j), s = (sx, sy, sz)
     Gm = jnp.asarray(
-        G.transpose(3, 4, 5, 0, 1, 2, 6, 7).reshape(4 * 4 * 4, 27 * 9),
+        G.transpose(0, 1, 2, 6, 7, 3, 4, 5).reshape(27 * 9, 4 * 4 * 4),
         dtype=dt)
-    out = jnp.dot(S.T, Gm, precision=precision)        # (n_nodes, 243)
-    C = out.reshape(ncnx, ncny, ncnz, 3, 3, 3, 3, 3)
-    return jnp.transpose(C, (3, 4, 5, 0, 1, 2, 6, 7))
+    out = jnp.dot(Gm, S, precision=precision)          # (243, n_nodes)
+    return out.reshape(3, 3, 3, 3, 3, ncnx, ncny, ncnz)
 
 
 def stencil_to_dense(C):
     """Stencil -> dense (3n, 3n) matrix, nodes flattened in C order
     (iz fastest) with dof = 3 * node + component.  For the multigrid
-    coarsest-level Cholesky (a few thousand dofs)."""
-    nnx, nny, nnz = C.shape[3:6]
+    coarsest-level Cholesky (a few thousand dofs).
+
+    ONE flat 1-D scatter-add with STATIC (host-precomputed) indices — the
+    same op shape as the proven rediscretized coarsest assembly
+    (ops/multigrid.py _coarsest_factor).  The first cut's 27 separate
+    block scatter-adds with 3-D advanced indexing were the op class that
+    faulted the tunnel TPU (round-3 gal_cho isolation)."""
+    nnx, nny, nnz = C.shape[5:8]
     n = nnx * nny * nnz
     ids = np.arange(n).reshape(nnx, nny, nnz)
-    comp = np.arange(3)
-    K = jnp.zeros((3 * n, 3 * n), dtype=C.dtype)
+    flat_idx, vals = [], []
     for ox in _OFF:
         for oy in _OFF:
             for oz in _OFF:
@@ -305,8 +339,14 @@ def stencil_to_dense(C):
                 cz = slice(max(0, oz), nnz - max(0, -oz))
                 rows = ids[rx, ry, rz].reshape(-1)
                 cols = ids[cx, cy, cz].reshape(-1)
-                blk = C[ox + 1, oy + 1, oz + 1][rx, ry, rz].reshape(-1, 3, 3)
-                rdof = (3 * rows[:, None, None] + comp[None, :, None])
-                cdof = (3 * cols[:, None, None] + comp[None, None, :])
-                K = K.at[rdof, cdof].add(blk)
-    return K
+                for i in range(3):
+                    for j in range(3):
+                        flat_idx.append((3 * rows + i) * (3 * n)
+                                        + (3 * cols + j))
+                        vals.append(
+                            C[ox + 1, oy + 1, oz + 1, i, j][rx, ry, rz]
+                            .reshape(-1))
+    flat_idx = jnp.asarray(np.concatenate(flat_idx))
+    vals = jnp.concatenate(vals)
+    K = jnp.zeros(9 * n * n, dtype=C.dtype).at[flat_idx].add(vals)
+    return K.reshape(3 * n, 3 * n)

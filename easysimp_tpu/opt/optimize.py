@@ -100,7 +100,7 @@ def _build_preconditioner(op, params):
         mg = MultigridPreconditioner(
             op, levels=params.mg_levels, smooth_iters=params.mg_smooth_iters,
             cycle_dtype=cycle_dtype, galerkin=params.mg_galerkin,
-            cycle=params.mg_cycle,
+            cycle=params.mg_cycle, coarsen=params.mg_coarsen,
         )
         if mg.n_levels > 1:
             return (mg.stateful_factory(), mg.init_power_vectors(),
@@ -166,6 +166,16 @@ class VoxelStep:
     # Host-driven per-level cold power estimation (flake-robust TPU form);
     # None when the preconditioner carries no state or under a device mesh.
     power_init_split: Callable | None = None
+    # OPTIONAL finer split of step_solve for the tunnel TPU (round 3):
+    # step_precond(design, pvecs, free_mask) -> (phys, mg_state, new_pvecs)
+    # runs the filter + per-iteration MG setup (stencil build / power
+    # refresh / coarsest factorization) as its OWN program;
+    # step_cg(design, phys, mg_state, u_prev, f_ext, free_mask) ->
+    # (u, energy, volume, cg_iters, cg_res) runs the MG-CG solve on the
+    # prebuilt state.  Together they equal step_solve (tested); None when
+    # the preconditioner is stateless or under a device mesh.
+    step_precond: Callable | None = None
+    step_cg: Callable | None = None
 
     # field order returned by `step`.  The convergence/diagnostic reductions
     # live in the separate `metrics` program: compiling them into the same
@@ -339,6 +349,45 @@ def build_voxel_step(grid, loads, boundary_conditions,
                 cg_res, bisect_iters, bisect_verr, fsens,
                 new_pvecs)
 
+    def step_precond(design, pvecs, free_mask):
+        """Program 1a of the OPTIONAL three-program iteration (round-3 TPU
+        fault mitigation): filter + per-SIMP-iteration preconditioner setup
+        — Galerkin stencil build (im2col conv + axis RAPs), power refresh,
+        coarsest dense factorization.  Isolating these op classes from the
+        Pallas/CG program follows the program-splitting pattern that fixed
+        the round-2 OC composition fault and the round-3 cold power_init
+        flake (memory/tpu-env-gotchas.md)."""
+        phys = filt.density_filter(design) if use_density_filter else design
+        scale = _precond_scale(phys)
+        state, new_pvecs = mg_obj.setup(scale, free_mask, pvecs)
+        return phys, state, new_pvecs
+
+    def step_cg(design, phys, state, u_prev, f_ext, free_mask):
+        """Program 1b: the MG-CG solve on a prebuilt preconditioner state
+        (from step_precond).  step_precond + step_cg == step_solve up to
+        XLA fusion-boundary rounding (tests/test_optimize.py)."""
+        # cho_factor's static `lower` flag crossed the program boundary as
+        # an array; rebuild it as the literal it always is (upper=False).
+        cho, dinv_sqrt = state["cho"]
+        state = dict(state, cho=((cho[0], False), dinv_sqrt))
+        scale = _precond_scale(phys)
+        f = f_ext
+        if acceleration_data is not None:
+            f = f + voxel_body_force(phys, accel_vec, base_density,
+                                     elem_vol, dtype)
+        f_bc = f * free_mask
+        if material_model is None:
+            A = lambda v: op.apply(v, scale, free_mask)
+        else:
+            lam_f, mu_f = material_model(phys)
+            A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
+        M = mg_obj._make_M(state)
+        sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
+                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+        energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
+        volume = jnp.sum(phys) * elem_vol
+        return sol.u, energy, volume, sol.iterations, sol.residual_norm
+
     def metrics(new_design, design, phys, u, fsens):
         """Convergence + diagnostic reductions (own program, see above)."""
         change = jnp.max(jnp.abs(new_design - design))
@@ -419,6 +468,9 @@ def build_voxel_step(grid, loads, boundary_conditions,
         crop_node=crop_node, element_energy=element_energy,
         power_init_split=(power_init_split
                           if mg_obj is not None and mesh is None else None),
+        step_precond=(step_precond
+                      if mg_obj is not None and mesh is None else None),
+        step_cg=step_cg if mg_obj is not None and mesh is None else None,
     )
 
 
@@ -485,6 +537,18 @@ def simp_optimize(grid, loads, boundary_conditions,
     # composition faults the TPU next to the fused Pallas kernels).
     solve_part_jit = jax.jit(vs.step_solve)
     update_part_jit = jax.jit(vs.step_update)
+    # On the real TPU, split the solve further into precond-setup | MG-CG
+    # when the builder provides it: the Galerkin stencil build compiled
+    # into the SAME program as the Pallas MG-CG faults the tunnel TPU on
+    # essentially every first execution, while each half runs clean solo
+    # (round-3 isolation; memory/tpu-env-gotchas.md).  CPU keeps the
+    # two-program form, whose equivalence to the split is tested
+    # (tests/test_optimize.py::test_step_precond_cg_split_matches_step_solve).
+    use_split3 = (vs.step_precond is not None
+                  and jax.default_backend() == "tpu")
+    if use_split3:
+        precond_jit = jax.jit(vs.step_precond)
+        cg_jit = jax.jit(vs.step_cg)
     metrics_jit = jax.jit(vs.metrics)
     solve_jit = jax.jit(vs.solve)
     op, total_volume, elem_vol = vs.op, vs.total_volume, vs.elem_vol
@@ -569,8 +633,16 @@ def simp_optimize(grid, loads, boundary_conditions,
             profile_ctx = _profiler.trace(params.profile_dir)
             profile_ctx.__enter__()
         f_ext_arg, free_mask_arg, vsens_arg = vs.step_args
-        (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
-            solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg)
+        if use_split3:
+            phys, mg_state, pvecs = precond_jit(design, pvecs,
+                                                free_mask_arg)
+            if it == start_iteration:
+                jax.block_until_ready(pvecs)
+            (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
+                design, phys, mg_state, u, f_ext_arg, free_mask_arg)
+        else:
+            (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
+                solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg)
         if it == start_iteration:
             # First iteration: drain the solve program before compiling/
             # loading the update program — program load overlapping a long

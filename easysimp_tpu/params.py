@@ -76,6 +76,17 @@ class OptimizationParameters:
     mg_galerkin: bool = True            # variational P^T A P coarse stencils
                                         # (contrast-robust); False = round-1/2
                                         # rediscretized mean-modulus coarsening
+    mg_coarsen: str = "arithmetic"      # modulus coarsening rule for the
+                                        # REDISCRETIZED levels (galerkin=
+                                        # False): "arithmetic" | "harmonic" |
+                                        # "mixed" (mean of both).  Measured
+                                        # (scripts/mg_contrast_study, 48x24x24
+                                        # x50 iters): harmonic STALLS CG at
+                                        # SIMP contrast (coarse moduli ~Emin
+                                        # make the coarse correction vanish),
+                                        # mixed is ~20% WORSE than arithmetic
+                                        # — keep arithmetic; the real fix is
+                                        # mg_galerkin=True (default)
     mg_cycle: str = "v"                 # "v" | "w".  Default V + the (1, 3)
                                         # per-level smoothing: a 50-iteration
                                         # 48x24x24 trajectory measured total

@@ -31,10 +31,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = {
-    # name: (mg_galerkin, mg_cycle, mg_smooth_iters)
+    # name: (mg_galerkin, mg_cycle, mg_smooth_iters[, mg_coarsen])
+    # Round-3 measurements @ 48x24x24 x 50 iters (total CG / max cg):
+    #   arithmetic_v1 1305/34, galerkin_v1 981/24, galerkin_v13 786/20
+    #   (default), galerkin_w13 621/15 (W-cycle: fewer CG but ~2x coarse
+    #   work/cycle — not a wall-clock win on TPU), harmonic_v1 STALLS
+    #   (22862, hits cg_maxiter: coarse moduli ~Emin kill the correction),
+    #   mixed_v1 1602/41, mixed_v13 1152/29.  Conclusion: rediscretized
+    #   coarsening rules cannot fix the contrast problem; Galerkin does.
     "arithmetic_v1": (False, "v", 1),
     "arithmetic_v22": (False, "v", 2),
+    "harmonic_v1": (False, "v", 1, "harmonic"),
+    "mixed_v1": (False, "v", 1, "mixed"),
+    "harmonic_v13": (False, "v", (1, 3), "harmonic"),
+    "mixed_v13": (False, "v", (1, 3), "mixed"),
+    "mixed_v12": (False, "v", (1, 2), "mixed"),
     "galerkin_v1": (True, "v", 1),
+    "galerkin_v12": (True, "v", (1, 2)),
     "galerkin_v13": (True, "v", (1, 3)),
     "galerkin_v14": (True, "v", (1, 4)),
     "galerkin_v15": (True, "v", (1, 5)),
@@ -52,7 +65,9 @@ def run(nels, n_iters, name, dtype):
     from easysimp_tpu.utils.terminal import set_quiet
 
     set_quiet(True)
-    galerkin, cycle, smooth = CONFIGS[name]
+    cfg = CONFIGS[name]
+    galerkin, cycle, smooth = cfg[:3]
+    coarsen = cfg[3] if len(cfg) > 3 else "arithmetic"
     nx, ny, nz = nels
     grid = et.generate_grid(nels, (0.0, 0.0, 0.0),
                             tuple(float(n) for n in nels))
@@ -65,7 +80,7 @@ def run(nels, n_iters, name, dtype):
         E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
         filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
         preconditioner="multigrid", mg_galerkin=galerkin, mg_cycle=cycle,
-        mg_smooth_iters=smooth,
+        mg_smooth_iters=smooth, mg_coarsen=coarsen,
         use_pallas_matvec=jax.default_backend() == "tpu")
     vs = build_voxel_step(grid, [load], [bc], params)
     solve_part = jax.jit(vs.step_solve)

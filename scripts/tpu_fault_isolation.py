@@ -406,6 +406,50 @@ if mode == "step_split":
               flush=True)
     print("step_split OK", flush=True)
 
+if mode == "bw":
+    # Direct HBM streaming-bandwidth probe: z = x + y at several sizes
+    # (traffic = 3 * nbytes per run).  Settles the roofline question — the
+    # round-2 "VPU-compute-bound" reading of the fused matvec assumed v5e
+    # spec bandwidth; if the tunnel chip actually streams ~40 GB/s, every
+    # kernel is bandwidth-bound and the optimization targets flip.
+    add = jax.jit(lambda a, b: a + b)
+    for mb in (64, 256, 1024):
+        n = mb * 1024 * 1024 // 4
+        x = jnp.ones((n,), jnp.float32)
+        y = jnp.full((n,), 2.0, jnp.float32)
+        z = add(x, y); jax.block_until_ready(z)
+        t1 = time.time()
+        reps = 8
+        for _ in range(reps):
+            z = add(x, z)
+        jax.block_until_ready(z)
+        dt_s = (time.time() - t1) / reps
+        gbps = 3 * mb / 1024 / dt_s
+        print(f"bw fp32 {mb} MB: {dt_s*1e3:.2f} ms -> {gbps:.1f} GB/s",
+              flush=True)
+    xb = jnp.ones((256 * 1024 * 1024 // 2,), jnp.bfloat16)
+    addb = jax.jit(lambda a, b: a + b)
+    zb = addb(xb, xb); jax.block_until_ready(zb)
+    t1 = time.time()
+    for _ in range(8):
+        zb = addb(xb, zb)
+    jax.block_until_ready(zb)
+    dt_s = (time.time() - t1) / 8
+    print(f"bw bf16 256 MB: {dt_s*1e3:.2f} ms -> {3 * 256 / 1024 / dt_s:.1f} "
+          f"GB/s", flush=True)
+    # 8-stream fused read (apply_stencil-shaped: many inputs, one output)
+    xs = [jnp.full((64 * 1024 * 1024 // 4,), float(i), jnp.float32)
+          for i in range(8)]
+    fma = jax.jit(lambda *a: sum(x * (i + 1.0) for i, x in enumerate(a)))
+    w = fma(*xs); jax.block_until_ready(w)
+    t1 = time.time()
+    for _ in range(8):
+        w = fma(*xs)
+    jax.block_until_ready(w)
+    dt_s = (time.time() - t1) / 8
+    print(f"bw 8-stream fma 512 MB traffic: {dt_s*1e3:.2f} ms -> "
+          f"{(8 + 1) * 64 / 1024 / dt_s:.1f} GB/s", flush=True)
+
 if mode.startswith("gal_") and mode != "gal_solve":
     # Galerkin-path compositions (round-3: the Galerkin step_solve faults on
     # TPU where the identical arithmetic-coarsening program runs clean —
@@ -438,7 +482,7 @@ if mode.startswith("gal_") and mode != "gal_solve":
         scales, masks, stencils = prep(scale, mask)
         jax.block_until_ready(stencils[1])
         ap = jax.jit(stn.apply_stencil)
-        v1 = jnp.asarray(rng.standard_normal(stencils[1].shape[3:6] + (3,)),
+        v1 = jnp.asarray(rng.standard_normal(stencils[1].shape[5:8] + (3,)),
                          jnp.float32)
         w = ap(stencils[1], v1); jax.block_until_ready(w)
         print(f"gal_apply compile+run {time.time()-t0:.1f}s; "

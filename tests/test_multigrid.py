@@ -1,6 +1,7 @@
 """Multigrid transfer-operator and preconditioner correctness."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import easysimp_tpu as et
@@ -53,6 +54,28 @@ class TestTransferOperators:
         np.testing.assert_allclose(
             c[0, 0, 0], np.asarray(s)[:2, :2, :2].mean(), rtol=1e-14
         )
+
+    def test_coarsen_cells_rules(self):
+        """Harmonic/mixed coarsening: reproduce constants exactly, stay
+        positive, and order harmonic <= mixed <= arithmetic (AM-HM
+        inequality) with strict gaps on heterogeneous blocks."""
+        rng = np.random.default_rng(2)
+        s = jnp.asarray(rng.uniform(0.01, 1.0, size=(4, 4, 4)))
+        arith = np.asarray(coarsen_cells(s, "arithmetic"))
+        harm = np.asarray(coarsen_cells(s, "harmonic"))
+        mixed = np.asarray(coarsen_cells(s, "mixed"))
+        blocks = np.asarray(s).reshape(2, 2, 2, 2, 2, 2)
+        np.testing.assert_allclose(
+            harm, 1.0 / (1.0 / blocks).mean(axis=(1, 3, 5)), rtol=1e-13)
+        np.testing.assert_allclose(mixed, 0.5 * (arith + harm), rtol=1e-14)
+        assert np.all(harm > 0) and np.all(harm < arith)
+        assert np.all((harm < mixed) & (mixed < arith))
+        const = jnp.full((2, 2, 2), 0.37)
+        for rule in ("arithmetic", "harmonic", "mixed"):
+            np.testing.assert_allclose(
+                np.asarray(coarsen_cells(const, rule)), 0.37, rtol=1e-14)
+        with pytest.raises(ValueError):
+            coarsen_cells(const, "geometric")
 
 
 class TestMGPreconditioner:

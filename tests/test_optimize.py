@@ -175,3 +175,46 @@ def test_convergence_and_result_fields():
     assert res.stresses.von_mises.shape == (grid.n_cells,)
     assert res.element_energies.shape == (grid.n_cells,)
     assert np.all(res.element_energies >= 0)
+
+
+def test_step_precond_cg_split_matches_step_solve():
+    """The round-3 three-program split (step_precond | step_cg | step_update)
+    must reproduce the two-program iteration: same CG iteration counts and
+    energies over a short trajectory (multigrid preconditioner, so the MG
+    setup actually exercises the Galerkin stencil build)."""
+    import jax
+
+    from easysimp_tpu.opt.optimize import build_voxel_step
+
+    grid, bc, load, params = build_cantilever((8, 8, 8), max_iter=4)
+    params = et.OptimizationParameters(
+        **{**params.__dict__, "preconditioner": "multigrid",
+           "cg_rtol": 1e-10})
+    vs = build_voxel_step(grid, [load], [bc], params)
+    assert vs.step_precond is not None and vs.step_cg is not None
+
+    f_ext, free_mask, vsens = vs.step_args
+    solve2 = jax.jit(vs.step_solve)
+    pre = jax.jit(vs.step_precond)
+    cg3 = jax.jit(vs.step_cg)
+    upd = jax.jit(vs.step_update)
+
+    d_a = d_b = vs.design0
+    u_a = u_b = vs.u0
+    pv_a = pv_b = vs.pvecs0
+    for _ in range(4):
+        phys_a, u_a, e_a, v_a, it_a, res_a, pv_a = solve2(
+            d_a, u_a, pv_a, f_ext, free_mask)
+        d_a = upd(d_a, phys_a, u_a, vsens)[0]
+
+        phys_b, state, pv_b = pre(d_b, pv_b, free_mask)
+        u_b, e_b, v_b, it_b, res_b = cg3(d_b, phys_b, state, u_b, f_ext,
+                                         free_mask)
+        d_b = upd(d_b, phys_b, u_b, vsens)[0]
+
+        assert int(it_a) == int(it_b)
+        np.testing.assert_allclose(float(e_a), float(e_b), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(phys_a), np.asarray(phys_b),
+                                   rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b),
+                               rtol=1e-9, atol=1e-12)

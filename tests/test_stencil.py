@@ -77,7 +77,7 @@ class TestStencilAssembly:
             np.asarray(stencil_diagonal(C)),
             np.asarray(op.diagonal(scale, mask)), rtol=1e-12)
         K = np.asarray(stencil_to_dense(C))
-        nnx, nny, nnz = C.shape[3:6]
+        nnx, nny, nnz = C.shape[5:8]
         ref_rowabs = np.abs(K).sum(axis=1).reshape(nnx, nny, nnz, 3)
         np.testing.assert_allclose(
             np.asarray(stencil_row_abs_sums(C)), ref_rowabs, rtol=1e-12)
