@@ -272,10 +272,16 @@ def run_measurement():
     # form for A/B.
     use_split3 = (os.environ.get("BENCH_SPLIT3", "1") == "1"
                   and getattr(vs, "step_precond", None) is not None)
+    setup_every = int(os.environ.get("BENCH_SETUP_EVERY", "1"))
+    mg_state = None
+    steps_since_setup = 0
+    cg_baseline = None
+    last_cg = None
     if use_split3:
         pre_part = jax.jit(vs.step_precond)
         cg_part = jax.jit(vs.step_cg)
-        log("using three-program step split (precond | cg | update)")
+        log(f"using three-program step split (precond | cg | update), "
+            f"setup_every={setup_every}")
     f_ext, free_mask, vsens = vs.step_args
     design, u, pvecs = vs.design0, vs.u0, vs.pvecs0
     ck = _load_ckpt(ckpt_path, design)
@@ -309,13 +315,31 @@ def run_measurement():
     first_exec = True
 
     def one_step(design, u, pvecs):
-        nonlocal first_exec
+        nonlocal first_exec, mg_state, steps_since_setup, cg_baseline, \
+            last_cg
         if use_split3:
-            phys, state, pvecs = pre_part(design, pvecs, free_mask)
+            # Stale-M refresh cadence (mirrors the driver's mg_setup_every;
+            # CG applies the CURRENT operator either way).  The default
+            # filter here is "sensitivity", so phys == design between
+            # refreshes.
+            degraded = (last_cg is not None and cg_baseline
+                        and last_cg > 1.5 * cg_baseline)
+            if mg_state is None or steps_since_setup >= setup_every \
+                    or degraded:
+                phys, mg_state, pvecs = pre_part(design, pvecs, free_mask)
+                steps_since_setup = 0
+                cg_baseline = None
+            else:
+                phys = (jax.jit(vs.filt.density_filter)(design)
+                        if vs.use_density_filter else design)
+            steps_since_setup += 1
             if first_exec:
                 jax.block_until_ready(pvecs)
             u, energy, volume, cg_iters, cg_res = cg_part(
-                design, phys, state, u, f_ext, free_mask)
+                design, phys, mg_state, u, f_ext, free_mask)
+            last_cg = int(cg_iters)
+            if cg_baseline is None:
+                cg_baseline = last_cg
         else:
             phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
                 design, u, pvecs, f_ext, free_mask)

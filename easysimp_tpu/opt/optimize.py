@@ -545,10 +545,17 @@ def simp_optimize(grid, loads, boundary_conditions,
     # two-program form, whose equivalence to the split is tested
     # (tests/test_optimize.py::test_step_precond_cg_split_matches_step_solve).
     use_split3 = (vs.step_precond is not None
-                  and jax.default_backend() == "tpu")
+                  and (jax.default_backend() == "tpu"
+                       or params.mg_setup_every > 1))
     if use_split3:
         precond_jit = jax.jit(vs.step_precond)
         cg_jit = jax.jit(vs.step_cg)
+        phys_jit = (jax.jit(vs.filt.density_filter)
+                    if vs.use_density_filter else None)
+        mg_state = None
+        last_setup_it = 0
+        cg_baseline = None        # CG count of the first post-refresh solve
+        cg_since_refresh = None   # CG count of the most recent solve
     metrics_jit = jax.jit(vs.metrics)
     solve_jit = jax.jit(vs.solve)
     op, total_volume, elem_vol = vs.op, vs.total_volume, vs.elem_vol
@@ -634,12 +641,33 @@ def simp_optimize(grid, loads, boundary_conditions,
             profile_ctx.__enter__()
         f_ext_arg, free_mask_arg, vsens_arg = vs.step_args
         if use_split3:
-            phys, mg_state, pvecs = precond_jit(design, pvecs,
-                                                free_mask_arg)
+            # Refresh the preconditioner state every mg_setup_every
+            # iterations; between refreshes the (stale) M is reused while
+            # CG still applies the CURRENT operator (see params.py).
+            # Adaptive guard: early iterations move the design at the full
+            # move limit, where even a 3-iteration-stale M costs multiples
+            # in CG (measured 21 -> 191 on a small cantilever) — refresh
+            # immediately whenever the last solve degraded >1.5x from its
+            # post-refresh baseline, so the cadence only skips work while
+            # the design (hence K) is actually quasi-static.
+            stale_steps = it - last_setup_it if mg_state is not None else 0
+            degraded = (cg_since_refresh is not None and cg_baseline
+                        and cg_since_refresh > 1.5 * cg_baseline)
+            if mg_state is None or stale_steps >= params.mg_setup_every \
+                    or degraded:
+                phys, mg_state, pvecs = precond_jit(design, pvecs,
+                                                    free_mask_arg)
+                last_setup_it = it
+                cg_baseline = None
+            else:
+                phys = phys_jit(design) if phys_jit is not None else design
             if it == start_iteration:
                 jax.block_until_ready(pvecs)
             (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
                 design, phys, mg_state, u, f_ext_arg, free_mask_arg)
+            cg_since_refresh = int(cg_iters)
+            if cg_baseline is None:
+                cg_baseline = cg_since_refresh
         else:
             (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
                 solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg)

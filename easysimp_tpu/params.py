@@ -87,6 +87,21 @@ class OptimizationParameters:
                                         # mixed is ~20% WORSE than arithmetic
                                         # — keep arithmetic; the real fix is
                                         # mg_galerkin=True (default)
+    mg_setup_every: int = 1             # rebuild the multigrid preconditioner
+                                        # state (Galerkin stencils, lambda_max
+                                        # power refresh, coarsest Cholesky)
+                                        # every N SIMP iterations instead of
+                                        # every iteration.  The design moves
+                                        # <= move_limit (0.2)/iteration, so a
+                                        # few-iterations-stale M still
+                                        # preconditions well; CG always
+                                        # applies the CURRENT operator, so
+                                        # results stay exact to cg_rtol —
+                                        # staleness only changes CG iteration
+                                        # counts (tests/test_optimize.py
+                                        # pins trajectory agreement).  Takes
+                                        # effect on the split-program path
+                                        # (multigrid + single device)
     mg_cycle: str = "v"                 # "v" | "w".  Default V + the (1, 3)
                                         # per-level smoothing: a 50-iteration
                                         # 48x24x24 trajectory measured total

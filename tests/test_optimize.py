@@ -177,6 +177,28 @@ def test_convergence_and_result_fields():
     assert np.all(res.element_energies >= 0)
 
 
+def test_mg_setup_every_trajectory_matches():
+    """A stale preconditioner (mg_setup_every=3) must reproduce the
+    refresh-every-iteration trajectory: CG always applies the CURRENT
+    operator, so with a tight cg_rtol both runs converge to the same
+    solves and the SIMP trajectory agrees to solver tolerance."""
+    grid, bc, load, params = build_cantilever((10, 6, 4), max_iter=7)
+
+    def run(setup_every):
+        p = et.OptimizationParameters(
+            **{**params.__dict__, "preconditioner": "multigrid",
+               "cg_rtol": 1e-12, "mg_setup_every": setup_every})
+        return et.simp_optimize(grid, [load], [bc], p)
+
+    res1 = run(1)
+    res3 = run(3)
+    np.testing.assert_allclose(res3.energy_history, res1.energy_history,
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res3.densities),
+                               np.asarray(res1.densities),
+                               rtol=1e-7, atol=1e-9)
+
+
 def test_step_precond_cg_split_matches_step_solve():
     """The round-3 three-program split (step_precond | step_cg | step_update)
     must reproduce the two-program iteration: same CG iteration counts and
