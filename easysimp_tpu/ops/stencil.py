@@ -276,6 +276,77 @@ def level1_weights(ke) -> np.ndarray:
     return G
 
 
+def compose_level_weights(G, k):
+    """Host-side (numpy, float64) composition: level-k Galerkin weights ->
+    level-(k+1) weights, by pushing the three axis-separable 1-D RAPs
+    through the linear map C_k = G_k * E_fine:
+
+        C_{k+1}[O'](N') = sum_{d,o: |d+o-2O'|<=1} p(d) p(d+o-2O')
+                          C_k[o](2N' + d)
+        =>  G_{k+1}[O', s'] += p(d) p(d+o-2O') G_k[o, s' - 2^k d]
+
+    per axis, with s' = 2^k d + s spanning [-2^{k+1}, 2^{k+1}-1] (kernel
+    size doubles per level: 4, 8, 16, ...).  This is what makes the DIRECT
+    per-level stencil build possible: every coarse level is one stride-2^k
+    im2col matmul straight from the fine modulus field, replacing the
+    on-device RAP chain whose full-tensor moveaxis/pad/slice passes over
+    the 267 MB level-1 stencil measured 255 ms per SIMP iteration at 128^3
+    (the RAP itself stays for levels past `direct` and for tests)."""
+    half = 1 << k
+    for axis in range(3):
+        Kk = G.shape[3 + axis]
+        shp = list(G.shape)
+        shp[3 + axis] = 2 * Kk
+        out = np.zeros(shp, G.dtype)
+        for O in _OFF:
+            for d in _OFF:
+                for o in _OFF:
+                    t = d + o - 2 * O
+                    if abs(t) > 1:
+                        continue
+                    w = _p1(d) * _p1(t)
+                    oi = [slice(None)] * 8
+                    oi[axis] = O + 1
+                    oi[3 + axis] = slice(half * (d + 1), half * (d + 1) + Kk)
+                    gi = [slice(None)] * 8
+                    gi[axis] = o + 1
+                    out[tuple(oi)] += w * G[tuple(gi)]
+        G = out
+    return G
+
+
+def level_stencil_from_scale(scale, G, level, precision=lax.Precision.HIGHEST):
+    """Direct fine element moduli (nx, ny, nz) -> level-`level` Galerkin
+    stencil (3, 3, 3, 3, 3, ncx+1, ncy+1, ncz+1), one stride-2^level
+    kernel-(2^{level+1})^3 im2col + ONE MXU matmul.
+
+    The im2col is built by per-axis GROUPED RESHAPE + two-shift concat (not
+    K^3 enumerated slices — at level 3 that would be 4096 slice ops in the
+    graph): pad by 2^level per side, reshape each axis into (n_coarse+1,
+    stride) groups, and concatenate the group with its successor to form
+    the kernel windows.  G is level1_weights composed (level-1) times
+    through compose_level_weights."""
+    stride = 1 << level
+    K = 2 * stride
+    nx, ny, nz = scale.shape
+    if any(n % stride for n in (nx, ny, nz)):
+        raise ValueError(f"fine element counts {scale.shape} must divide "
+                         f"the level-{level} stride {stride}")
+    dt = scale.dtype
+    ncn = (nx // stride + 1, ny // stride + 1, nz // stride + 1)
+    sp = jnp.pad(scale, stride)        # (nx + 2*stride, ...) = stride*(ncn+1)
+    X = sp.reshape(ncn[0] + 1, stride, ncn[1] + 1, stride, ncn[2] + 1, stride)
+    X = jnp.concatenate([X[:-1], X[1:]], axis=1)          # (ncnx, K, ...)
+    X = jnp.concatenate([X[:, :, :-1], X[:, :, 1:]], axis=3)
+    X = jnp.concatenate([X[:, :, :, :, :-1], X[:, :, :, :, 1:]], axis=5)
+    S = jnp.transpose(X, (1, 3, 5, 0, 2, 4)).reshape(K ** 3, -1)
+    Gm = jnp.asarray(
+        G.transpose(0, 1, 2, 6, 7, 3, 4, 5).reshape(27 * 9, K ** 3),
+        dtype=dt)
+    out = jnp.dot(Gm, S, precision=precision)             # (243, n_nodes)
+    return out.reshape(3, 3, 3, 3, 3, *ncn)
+
+
 def level1_stencil_from_scale(scale, G, precision=lax.Precision.HIGHEST):
     """Fine element moduli (nx, ny, nz) -> level-1 Galerkin stencil
     (3, 3, 3, 3, 3, ncx+1, ncy+1, ncz+1): stack the 64 stride-2 shifted

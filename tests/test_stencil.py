@@ -15,9 +15,11 @@ from easysimp_tpu.ops.stencil import (
     apply_stencil,
     assemble_node_stencil,
     coarsen_stencil,
+    compose_level_weights,
     fold_bc_into_stencil,
     level1_stencil_from_scale,
     level1_weights,
+    level_stencil_from_scale,
     stencil_diagonal,
     stencil_row_abs_sums,
     stencil_to_dense,
@@ -121,6 +123,21 @@ class TestGalerkinCoarsening:
         out = np.asarray(level1_stencil_from_scale(scale, G))
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, rtol=1e-11, atol=1e-11)
+
+    def test_direct_level_builds_match_rap_chain(self):
+        """Host-composed weights + one im2col matmul per level == the full
+        assemble-fine-then-RAP chain (unmasked), at levels 2 and 3."""
+        grid, op, scale, u, _ = _problem(nels=(8, 8, 8), seed=8)
+        C0 = assemble_node_stencil(scale, op.ke)
+        G = level1_weights(np.asarray(op.ke, dtype=np.float64))
+        ref = coarsen_stencil(C0)
+        for lvl in (2, 3):
+            G = compose_level_weights(G, lvl - 1)
+            ref = coarsen_stencil(ref)
+            out = np.asarray(level_stencil_from_scale(scale, G, lvl))
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(out, np.asarray(ref),
+                                       rtol=1e-11, atol=1e-11)
 
     def test_rap_twice_matches_dense(self):
         """Two RAP levels compose correctly (8^3 -> 4^3 -> 2^3 elements)."""
