@@ -245,6 +245,7 @@ def run_measurement():
         filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
         preconditioner="multigrid", use_pallas_matvec=use_pallas,
         mg_cycle_dtype=mg_dtype,
+        mg_stencil_dtype=os.environ.get("BENCH_STENCIL_DTYPE", ""),
         mg_galerkin=os.environ.get("BENCH_GALERKIN", "1") == "1",
         mg_cycle=os.environ.get("BENCH_MG_CYCLE", "v"),
         mg_smooth_iters=ast.literal_eval(

@@ -129,7 +129,7 @@ class MultigridPreconditioner:
                  refresh_iters: int = 2, cycle_dtype=None,
                  smoother: str = "chebyshev", galerkin: bool = True,
                  cycle: str = "v", coarsen: str = "arithmetic",
-                 direct_stencils: bool = True):
+                 direct_stencils: bool = True, stencil_dtype=None):
         # smooth_iters: int (same Chebyshev degree everywhere) or a sequence
         # of per-level degrees (last entry repeats for deeper levels) —
         # stronger coarse smoothing buys W-cycle-like robustness at V-cycle
@@ -170,6 +170,15 @@ class MultigridPreconditioner:
         # costs a few CG iterations, while halving the HBM traffic of ~5/6 of
         # the solve.  None = same dtype as the operator.
         self.cycle_dtype = cycle_dtype
+        # stencil_dtype: STORAGE dtype for the Galerkin stencil coefficient
+        # fields only (e.g. bfloat16).  The level-1 stencil is 243 scalar
+        # fields — 267 MB fp32 at 128^3 — and its read traffic dominates the
+        # coarse half of every V-cycle; storing it narrow halves that while
+        # the smoother arithmetic stays in the cycle dtype (bf16 * fp32
+        # promotes to fp32, so apply_stencil upcasts in-register).  Setup
+        # (diagonals, power refresh, coarsest Cholesky) always reads the
+        # full-precision build.  None = cycle/operator dtype.
+        self.stencil_dtype = stencil_dtype
 
         # Build the grid/operator hierarchy (static).
         self.ops = [fine_op]
@@ -471,6 +480,10 @@ class MultigridPreconditioner:
             state["lams"] = [l.astype(lp) for l in lams]
             state["stencils"] = [None if s is None else s.astype(lp)
                                  for s in stencils]
+        if self.stencil_dtype is not None:
+            sd = self.stencil_dtype
+            state["stencils"] = [None if s is None else s.astype(sd)
+                                 for s in state["stencils"]]
         return state, tuple(new_vecs)
 
     # ------------------------------------------------------------------

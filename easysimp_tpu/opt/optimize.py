@@ -97,10 +97,13 @@ def _build_preconditioner(op, params):
 
         cycle_dtype = jnp.dtype(params.mg_cycle_dtype) \
             if params.mg_cycle_dtype else None
+        stencil_dtype = jnp.dtype(params.mg_stencil_dtype) \
+            if params.mg_stencil_dtype else None
         mg = MultigridPreconditioner(
             op, levels=params.mg_levels, smooth_iters=params.mg_smooth_iters,
             cycle_dtype=cycle_dtype, galerkin=params.mg_galerkin,
             cycle=params.mg_cycle, coarsen=params.mg_coarsen,
+            stencil_dtype=stencil_dtype,
         )
         if mg.n_levels > 1:
             return (mg.stateful_factory(), mg.init_power_vectors(),

@@ -73,6 +73,16 @@ class OptimizationParameters:
                                         # graph size
     mg_cycle_dtype: str = ""            # "" = operator dtype; "bfloat16" runs
                                         # the V-cycle interior in bf16
+    mg_stencil_dtype: str = ""          # STORAGE dtype for the Galerkin
+                                        # stencil coefficient fields (243
+                                        # scalar fields, 267 MB fp32 at 128^3
+                                        # level 1 — the dominant coarse-side
+                                        # HBM traffic).  "bfloat16" halves
+                                        # that read traffic while smoother
+                                        # arithmetic stays in the cycle dtype
+                                        # (in-register upcast); setup
+                                        # (diagonals, power refresh, coarsest
+                                        # Cholesky) always uses full precision
     mg_galerkin: bool = True            # variational P^T A P coarse stencils
                                         # (contrast-robust); False = round-1/2
                                         # rediscretized mean-modulus coarsening

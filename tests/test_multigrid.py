@@ -219,6 +219,46 @@ class TestSmootherVariants:
             np.asarray(sols["bf16"].u), np.asarray(sols["fp32"].u),
             atol=2e-3 * umax)
 
+    def test_bf16_stencil_storage_converges_like_fp32(self):
+        """stencil_dtype=bf16 (narrow Galerkin coefficient STORAGE, fp32
+        smoother arithmetic) reaches the same CG tolerance with a mild
+        iteration penalty — the knob that halves the dominant coarse-side
+        HBM traffic on TPU."""
+        import easysimp_tpu as et
+        from easysimp_tpu.ops.cg import cg_solve
+
+        grid = et.generate_grid((16, 8, 4), (0.0, 0.0, 0.0),
+                                (16.0, 8.0, 4.0))
+        op = et.VoxelOperator(grid, E0=1.0, Emin=1e-9, nu=0.3, p=3.0,
+                              dtype=jnp.float32)
+        bc = et.apply_fixed_boundary(
+            grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+        mask = jnp.asarray(et.build_free_mask(grid, [bc]), jnp.float32)
+        load = et.PointLoad(
+            et.select_nodes_by_box(grid, [16, 0, 0], [16, 0, 4]),
+            [0.0, -1.0, 0.0])
+        f = jnp.asarray(et.build_load_field(grid, [load]),
+                        jnp.float32) * mask
+        rng = np.random.default_rng(11)
+        scale = op.youngs_modulus(
+            jnp.asarray(rng.choice([0.01, 1.0], size=grid.nels),
+                        jnp.float32))
+        A = lambda v: op.apply(v, scale, mask)
+        sols = {}
+        for tag, sd in (("fp32", None), ("bf16", jnp.bfloat16)):
+            mg = MultigridPreconditioner(op, smooth_iters=(1, 3),
+                                         stencil_dtype=sd)
+            M = mg.preconditioner_factory()(scale, mask)
+            sols[tag] = cg_solve(A, f, M=M, rtol=1e-5, maxiter=1000)
+        assert int(sols["bf16"].iterations) <= \
+            int(1.5 * sols["fp32"].iterations) + 2
+        bnorm = float(jnp.sqrt(jnp.vdot(f, f)))
+        assert float(sols["bf16"].residual_norm) <= 1.1e-5 * bnorm
+        umax = np.abs(np.asarray(sols["fp32"].u)).max()
+        np.testing.assert_allclose(
+            np.asarray(sols["bf16"].u), np.asarray(sols["fp32"].u),
+            atol=2e-3 * umax)
+
 
 class TestPowerInitSplit:
     def test_split_matches_one_shot(self):
