@@ -47,7 +47,15 @@ from .stencil import (
 
 __all__ = ["MultigridPreconditioner"]
 
-_MAX_COARSE_DOFS = 4100  # stop coarsening once a dense solve is this cheap
+def _max_coarse_dofs() -> int:
+    """Stop coarsening once a dense solve is this cheap.  Env-tunable
+    (EASYSIMP_MAX_COARSE_DOFS): at 128^3 the default stops at a 2187-dof
+    coarsest whose per-SIMP-iteration scatter+Cholesky measured ~16 ms on
+    the tunnel TPU; ~500 descends one more level (375 dofs), shrinking
+    that ~8x for one extra (tiny) V-cycle level."""
+    import os
+
+    return int(os.environ.get("EASYSIMP_MAX_COARSE_DOFS", "4100"))
 
 
 def _coarsen_counts(nels):
@@ -192,7 +200,7 @@ class MultigridPreconditioner:
                               nu=fine_op.nu, p=fine_op.p, dtype=self.dtype)
             )
             coarse_dofs = 3 * grid.n_nodes
-            if coarse_dofs <= _MAX_COARSE_DOFS:
+            if coarse_dofs <= _max_coarse_dofs():
                 break
             if levels and len(self.ops) >= levels:
                 break
