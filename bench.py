@@ -292,8 +292,22 @@ def run_measurement():
         # TPU faulted: trajectory state + per-iteration timing samples.
         design = jnp.asarray(np.asarray(ck["design"]), design.dtype)
         u = jnp.asarray(np.asarray(ck["u"]), design.dtype)
-        pvecs = tuple(jnp.asarray(np.asarray(ck[f"pvec{i}"]), design.dtype)
+        saved = tuple(jnp.asarray(np.asarray(ck[f"pvec{i}"]), design.dtype)
                       for i in range(int(ck["n_pvecs"])))
+        if len(saved) == len(pvecs) and \
+                all(s.shape == p.shape for s, p in zip(saved, pvecs)):
+            pvecs = saved
+        else:
+            # Hierarchy depth changed between children (e.g. a different
+            # EASYSIMP_MAX_COARSE_DOFS): keep the trajectory state, cold
+            # re-init the power vectors.
+            log(f"checkpoint pvecs ({len(saved)} levels) do not match the "
+                f"current hierarchy ({len(pvecs)}); re-initializing")
+            if vs.power_init is not None:
+                if getattr(vs, "power_init_split", None) is not None:
+                    pvecs = vs.power_init_split(design, vs.step_args[1])
+                else:
+                    pvecs = jax.jit(vs.power_init)(design, vs.step_args[1])
         done_iters = int(ck["done_iters"])
         for key, dst in (("early_t", early_t), ("late_t", late_t),
                          ("cgs", cgs)):
