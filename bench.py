@@ -211,7 +211,14 @@ def run_measurement():
     n_timed = int(os.environ.get("BENCH_ITERS", "10"))
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
     with_phases = os.environ.get("BENCH_PHASES", "0") == "1"
-    mg_dtype = os.environ.get("BENCH_MG_DTYPE", "")
+    # bfloat16 V-cycle interior by default: with the Galerkin stencil cycle
+    # the V-cycle is FIELD-traffic-bound (restrict/prolong/Chebyshev vector
+    # passes + stencil reads), and halving that traffic measured 25 ->
+    # 12.9 ms per CG iteration at 128^3 iter-60 contrast for only +2 CG
+    # iterations (phase matrix, round 3).  [The round-2 "bf16 not worth it"
+    # verdict applied to the COMPUTE-bound element-kernel cycle.]  CG
+    # itself stays fp32 and solves to the same rtol.
+    mg_dtype = os.environ.get("BENCH_MG_DTYPE", "bfloat16")
     ckpt_path = os.environ.get("BENCH_CKPT", "")
 
     import jax
@@ -249,7 +256,7 @@ def run_measurement():
         mg_galerkin=os.environ.get("BENCH_GALERKIN", "1") == "1",
         mg_cycle=os.environ.get("BENCH_MG_CYCLE", "v"),
         mg_smooth_iters=ast.literal_eval(
-            os.environ.get("BENCH_MG_SMOOTH", "(1, 3)")))
+            os.environ.get("BENCH_MG_SMOOTH", "(1, 2)")))
     log(f"grid {nels} = {grid.n_cells} cells, {grid.n_dofs} dofs, "
         f"dtype {dtype}, pallas {use_pallas}")
 

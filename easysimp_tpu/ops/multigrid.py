@@ -177,6 +177,14 @@ class MultigridPreconditioner:
         # A preconditioner only steers the search direction, so its rounding
         # costs a few CG iterations, while halving the HBM traffic of ~5/6 of
         # the solve.  None = same dtype as the operator.
+        #
+        # Measured history (128^3, tunnel v5e-lite): with the round-2
+        # ELEMENT-kernel cycle (VPU-compute-bound applies) bf16 bought only
+        # 13%/apply for +4% CG — not worth it.  With the round-3 GALERKIN
+        # stencil cycle the V-cycle is FIELD-traffic-bound (restrict/
+        # prolong/Chebyshev passes + 267 MB of level-1 coefficients), and
+        # bf16 measured 25 -> 12.9 ms per CG iteration at iter-60 contrast
+        # for +2 CG iterations — bench.py defaults to it on TPU.
         self.cycle_dtype = cycle_dtype
         # stencil_dtype: STORAGE dtype for the Galerkin stencil coefficient
         # fields only (e.g. bfloat16).  The level-1 stencil is 243 scalar

@@ -28,12 +28,16 @@ that closes it).  The variational (Galerkin) coarse operator A_c = P^T A P
 with the trilinear prolongation P is again a 27-point block stencil on the
 coarse node grid, computable field-wise:
 
-  * level 1 comes straight from the FINE element modulus field through one
-    stride-2 kernel-4^3 convolution (`level1_stencil_from_scale`) — the fine
-    stencil (243 fields at fine resolution, ~2 GB at 128^3) is never
-    materialized;
-  * deeper levels coarsen stencil -> stencil by the axis-separable RAP
-    (`coarsen_stencil_axis`), exact because the trilinear P factors per axis.
+  * levels 1-3 come straight from the FINE element modulus field, each
+    through one stride-2^k kernel-(2^{k+1})^3 im2col + MXU matmul
+    (`level_stencil_from_scale`, weights host-composed by
+    `compose_level_weights`) — the fine stencil (243 fields at fine
+    resolution, ~2 GB at 128^3) is never materialized, and neither is the
+    on-device RAP chain over the 267 MB level-1 tensor (which measured
+    255 ms/SIMP iteration at 128^3 before the direct builds);
+  * deeper (tiny) levels coarsen stencil -> stencil by the axis-separable
+    RAP (`coarsen_stencil_axis`), exact because the trilinear P factors
+    per axis.
 
 Everything here is jit-safe: offsets/weights are static Python, fields are
 jnp arrays.
