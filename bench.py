@@ -335,10 +335,20 @@ def run_measurement():
             jax.block_until_ready(pvecs)  # drain before the next program
 
     first_exec = True
+    # Subspace-recycled CG (BENCH_RECYCLE_K>1): ring buffer of recent
+    # solutions whose deltas deflate the warm-start residual (ops/cg.py).
+    recycle_k = int(os.environ.get("BENCH_RECYCLE_K", "0"))
+    rhist = None
+    push_jit = None
+    if recycle_k > 1:
+        rhist = jnp.zeros((recycle_k, *u.shape), u.dtype).at[0].set(u)
+        push_jit = jax.jit(
+            lambda H, unew: jnp.concatenate([unew[None], H[:-1]]))
+        log(f"subspace recycling enabled: k={recycle_k}")
 
     def one_step(design, u, pvecs):
         nonlocal first_exec, mg_state, steps_since_setup, cg_baseline, \
-            last_cg
+            last_cg, rhist
         if use_split3:
             # Stale-M refresh cadence (mirrors the driver's mg_setup_every;
             # CG applies the CURRENT operator either way).  The default
@@ -357,14 +367,24 @@ def run_measurement():
             steps_since_setup += 1
             if first_exec:
                 jax.block_until_ready(pvecs)
-            u, energy, volume, cg_iters, cg_res = cg_part(
-                design, phys, mg_state, u, f_ext, free_mask)
+            if rhist is None:
+                u, energy, volume, cg_iters, cg_res = cg_part(
+                    design, phys, mg_state, u, f_ext, free_mask)
+            else:
+                u, energy, volume, cg_iters, cg_res = cg_part(
+                    design, phys, mg_state, u, f_ext, free_mask,
+                    recycle=rhist)
             last_cg = int(cg_iters)
             if cg_baseline is None:
                 cg_baseline = last_cg
-        else:
+        elif rhist is None:
             phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
                 design, u, pvecs, f_ext, free_mask)
+        else:
+            phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
+                design, u, pvecs, f_ext, free_mask, recycle=rhist)
+        if rhist is not None:
+            rhist = push_jit(rhist, u)
         if first_exec:
             # First execution in this process: drain each program before
             # compiling/loading the next — keeps program load and execution

@@ -42,6 +42,7 @@ def cg_solve(
     rtol: float = 1e-10,
     atol: float = 0.0,
     maxiter: int = 10000,
+    deflate=None,
 ) -> CGResult:
     """Solve A x = b with preconditioned CG.
 
@@ -53,6 +54,16 @@ def cg_solve(
       M: preconditioner applying M^{-1} r (e.g. Jacobi or a multigrid V-cycle).
       rtol/atol: stop when ||r|| <= max(rtol*||b||, atol).
       maxiter: iteration cap (static).
+      deflate: optional (m, *b.shape) stack of subspace-recycling basis
+         vectors (masked; zero rows allowed).  Before iterating, the
+         warm-start residual is Galerkin-projected over span(deflate):
+         solve (W^T A W) y = W^T r0, set x0 += W y, r0 -= (A W) y.  In a
+         SIMP loop with W spanning recent solution DELTAS this deflates
+         exactly the slowly-converging modes the design evolution keeps
+         re-exciting (the reference sidesteps this with a fresh CHOLMOD
+         factorization per iteration, Optimization.jl:317).  Costs m
+         operator applies + a tiny dense solve; the projected residual is
+         reused, so CG itself starts no worse than without it.
 
     Stops on the residual 2-norm. All state stays on device.
     """
@@ -65,6 +76,29 @@ def cg_solve(
     tol = jnp.maximum(rtol * bnorm, atol)
 
     r0 = b - A(x0)
+    if deflate is not None and deflate.shape[0] > 0:
+        m = deflate.shape[0]
+        AW = jnp.stack([A(deflate[i]) for i in range(m)])   # static unroll
+        # Gram matrix and projection as FLAT matmuls (one MXU pass over
+        # W/AW), not m^2 pairwise vdots (m^2 full-field read pairs).
+        Wf = deflate.reshape(m, -1)
+        AWf = AW.reshape(m, -1)
+        # HIGHEST: the Gram entries reduce ~10^7 fp32 products; the default
+        # TPU matmul precision (bf16 passes) is too coarse for a matrix
+        # that feeds a linear solve.
+        G = jnp.dot(Wf, AWf.T, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.dot(Wf, r0.reshape(-1),
+                    precision=jax.lax.Precision.HIGHEST)
+        # Relative ridge keeps the solve finite for rank-deficient W
+        # (duplicate/zero rows from an unfilled ring buffer): a zero row
+        # contributes g_i = 0, so its y_i is driven to ~0 and adds nothing.
+        # Scaled to the working precision so the projection itself does not
+        # cap the attainable residual (10 eps_mach relative).
+        eps = 10.0 * jnp.finfo(G.dtype).eps \
+            * jnp.max(jnp.abs(jnp.diagonal(G))) + 1e-30
+        y = jnp.linalg.solve(G + eps * jnp.eye(m, dtype=G.dtype), g)
+        x0 = x0 + jnp.tensordot(y, deflate, axes=1)
+        r0 = r0 - jnp.tensordot(y, AW, axes=1)
     z0 = M(r0)
     rz0 = _vdot(r0, z0)
 

@@ -266,7 +266,16 @@ def build_voxel_step(grid, loads, boundary_conditions,
         _, mu_f = material_model(phys)
         return mu_f / mu_unit
 
-    def forward(design, u_prev, pvecs, f_ext, free_mask):
+    def _recycle_deflate(free_mask, recycle):
+        """Deflation basis from the solution ring buffer (ops/cg.py):
+        deltas of recent solutions against the newest one — the directions
+        the design evolution keeps re-exciting.  recycle[0] is the most
+        recent solution (== the warm start)."""
+        if recycle is None:
+            return None
+        return (recycle[1:] - recycle[:1]) * free_mask
+
+    def forward(design, u_prev, pvecs, f_ext, free_mask, recycle=None):
         """Shared physics: filter -> loads -> solve -> energy/volume."""
         phys = filt.density_filter(design) if use_density_filter else design
         scale = _precond_scale(phys)
@@ -282,7 +291,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
             A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
         M, new_pvecs = precond_factory(scale, free_mask, pvecs)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
-                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+                       rtol=params.cg_rtol, maxiter=params.cg_maxiter,
+                       deflate=_recycle_deflate(free_mask, recycle))
         # 0.5 u^T K u without an extra matvec: K u = f - r at the CG exit.
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys) * elem_vol
@@ -305,10 +315,10 @@ def build_voxel_step(grid, loads, boundary_conditions,
         jax.block_until_ready(scale)
         return mg_obj.power_init_split(scale, free_mask)
 
-    def step_solve(design, u_prev, pvecs, f_ext, free_mask):
+    def step_solve(design, u_prev, pvecs, f_ext, free_mask, recycle=None):
         """Program 1 of the iteration: filter -> MG-CG solve (Pallas)."""
         phys, sol, energy, volume, new_pvecs = forward(
-            design, u_prev, pvecs, f_ext, free_mask)
+            design, u_prev, pvecs, f_ext, free_mask, recycle=recycle)
         return (phys, sol.u, energy, volume, sol.iterations,
                 sol.residual_norm, new_pvecs)
 
@@ -365,7 +375,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
         state, new_pvecs = mg_obj.setup(scale, free_mask, pvecs)
         return phys, state, new_pvecs
 
-    def step_cg(design, phys, state, u_prev, f_ext, free_mask):
+    def step_cg(design, phys, state, u_prev, f_ext, free_mask, recycle=None):
         """Program 1b: the MG-CG solve on a prebuilt preconditioner state
         (from step_precond).  step_precond + step_cg == step_solve up to
         XLA fusion-boundary rounding (tests/test_optimize.py)."""
@@ -386,7 +396,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
             A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
         M = mg_obj._make_M(state)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
-                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+                       rtol=params.cg_rtol, maxiter=params.cg_maxiter,
+                       deflate=_recycle_deflate(free_mask, recycle))
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys) * elem_vol
         return sol.u, energy, volume, sol.iterations, sol.residual_norm
@@ -565,6 +576,18 @@ def simp_optimize(grid, loads, boundary_conditions,
 
     design, u = vs.design0, vs.u0
     pvecs = vs.pvecs0
+    # Subspace-recycled CG (params.cg_recycle_k): ring buffer of the last k
+    # solutions, whose deltas deflate the warm-start residual (ops/cg.py).
+    # Exact-shape node fields only — the padded/sharded mesh path manages
+    # node layouts itself, so recycling stays single-device for now.
+    recycle_k = params.cg_recycle_k if mesh is None else 0
+    rhist = None
+    push_jit = None
+    if recycle_k > 1:
+        rhist = jnp.zeros((recycle_k, *vs.u0.shape), vs.dtype)
+        rhist = rhist.at[0].set(u)
+        push_jit = jax.jit(
+            lambda H, unew: jnp.concatenate([unew[None], H[:-1]]))
     energy_history: list[float] = []
     volume_history: list[float] = []
     change_history: list[float] = []
@@ -666,14 +689,25 @@ def simp_optimize(grid, loads, boundary_conditions,
                 phys = phys_jit(design) if phys_jit is not None else design
             if it == start_iteration:
                 jax.block_until_ready(pvecs)
-            (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
-                design, phys, mg_state, u, f_ext_arg, free_mask_arg)
+            if rhist is None:
+                (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
+                    design, phys, mg_state, u, f_ext_arg, free_mask_arg)
+            else:
+                (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
+                    design, phys, mg_state, u, f_ext_arg, free_mask_arg,
+                    recycle=rhist)
             cg_since_refresh = int(cg_iters)
             if cg_baseline is None:
                 cg_baseline = cg_since_refresh
-        else:
+        elif rhist is None:
             (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
                 solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg)
+        else:
+            (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
+                solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg,
+                               recycle=rhist)
+        if rhist is not None:
+            rhist = push_jit(rhist, u_new)
         if it == start_iteration:
             # First iteration: drain the solve program before compiling/
             # loading the update program — program load overlapping a long

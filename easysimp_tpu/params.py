@@ -62,6 +62,16 @@ class OptimizationParameters:
     dtype: str = "auto"                 # "auto" | "float32" | "float64"
     cg_rtol: float = 1e-8               # relative residual for the CG solve
     cg_maxiter: int = 20000
+    cg_recycle_k: int = 0               # subspace-recycled CG: keep the last
+                                        # k solutions in a ring buffer and
+                                        # Galerkin-project the warm-start
+                                        # residual over their deltas before
+                                        # iterating (ops/cg.py `deflate`).
+                                        # Costs k-1 operator applies +
+                                        # k node fields of memory per
+                                        # iteration; deflates the low modes
+                                        # the design evolution re-excites.
+                                        # 0 = off (reference-equivalent)
     preconditioner: str = "auto"        # auto|jacobi|block_jacobi|amg|multigrid|none
     mg_levels: int = 0                  # 0 = auto depth
     mg_smooth_iters: object = (1, 3)    # Chebyshev degree / Jacobi sweeps;

@@ -260,6 +260,60 @@ class TestSmootherVariants:
             atol=2e-3 * umax)
 
 
+class TestDeflatedCG:
+    """Subspace-recycled CG (`cg_solve(deflate=...)`): the Galerkin
+    projection over a basis stack, incl. the rank-deficient ring-buffer
+    cases the driver produces (zero rows, duplicate rows)."""
+
+    def _problem(self):
+        import easysimp_tpu as et
+
+        grid = et.generate_grid((12, 6, 4), (0.0, 0.0, 0.0),
+                                (12.0, 6.0, 4.0))
+        op = et.VoxelOperator(grid, E0=1.0, Emin=1e-9, nu=0.3, p=3.0,
+                              dtype=jnp.float64)
+        bc = et.apply_fixed_boundary(
+            grid, et.select_nodes_by_plane(grid, [0, 0, 0], [1, 0, 0], 1e-6))
+        mask = jnp.asarray(et.build_free_mask(grid, [bc]))
+        load = et.PointLoad(
+            et.select_nodes_by_box(grid, [12, 0, 0], [12, 0, 4]),
+            [0.0, -1.0, 0.0])
+        f = jnp.asarray(et.build_load_field(grid, [load])) * mask
+        rng = np.random.default_rng(5)
+        scale = op.youngs_modulus(
+            jnp.asarray(rng.choice([0.05, 1.0], size=grid.nels)))
+        A = lambda v: op.apply(v, scale, mask)
+        return A, f, mask
+
+    def test_solution_in_span_converges_immediately(self):
+        from easysimp_tpu.ops.cg import cg_solve
+
+        A, f, mask = self._problem()
+        exact = cg_solve(A, f, rtol=1e-12, maxiter=5000)
+        rng = np.random.default_rng(6)
+        noise = jnp.asarray(rng.standard_normal(f.shape)) * mask
+        W = jnp.stack([exact.u, 0.5 * noise])
+        sol = cg_solve(A, f, deflate=W, rtol=1e-10, maxiter=50)
+        # the projection finds the exact solution before CG iterates
+        assert int(sol.iterations) <= 1
+        np.testing.assert_allclose(np.asarray(sol.u), np.asarray(exact.u),
+                                   atol=1e-8)
+
+    def test_rank_deficient_basis_is_safe_and_helps(self):
+        from easysimp_tpu.ops.cg import cg_solve
+
+        A, f, mask = self._problem()
+        plain = cg_solve(A, f, rtol=1e-8, maxiter=5000)
+        near = cg_solve(A, f, rtol=1e-2, maxiter=5000).u  # coarse solve
+        # ring-buffer pathology: zero rows + duplicated direction
+        W = jnp.stack([near, near, jnp.zeros_like(near)])
+        sol = cg_solve(A, f, deflate=W, rtol=1e-8, maxiter=5000)
+        assert np.isfinite(float(sol.residual_norm))
+        assert int(sol.iterations) <= int(plain.iterations)
+        np.testing.assert_allclose(np.asarray(sol.u), np.asarray(plain.u),
+                                   atol=1e-6 * float(jnp.max(jnp.abs(plain.u))))
+
+
 class TestPowerInitSplit:
     def test_split_matches_one_shot(self):
         """power_init_split (per-level device programs, the flake-robust TPU
