@@ -158,7 +158,7 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
             amg.Pn = jax.device_put(amg.Pn, rep)
             amg.agg_idx = jax.device_put(amg.agg_idx, rep)
 
-    def forward(design, u_prev):
+    def forward(design, u_prev, recycle=None):
         phys = filt.density_filter(design) if use_density_filter else design
         scale = op.youngs_modulus(phys)
         f = f_ext if shape_integrals is None else f_ext + body_force(phys)
@@ -174,14 +174,19 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         else:
             diag = op.diagonal(scale, free_mask)
             M = lambda r: r / diag
+        deflate = None
+        if recycle is not None:
+            # solution-delta basis, same recipe as the voxel driver
+            deflate = (recycle[1:] - recycle[:1]) * free_mask
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
-                       rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+                       rtol=params.cg_rtol, maxiter=params.cg_maxiter,
+                       deflate=deflate)
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys * element_volumes)
         return phys, sol, energy, volume
 
-    def step(design, u_prev):
-        phys, sol, energy, volume = forward(design, u_prev)
+    def step(design, u_prev, recycle=None):
+        phys, sol, energy, volume = forward(design, u_prev, recycle=recycle)
         u = sol.u
         sens = op.compliance_sensitivities(u, phys)
         if use_density_filter:
@@ -237,6 +242,17 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     total_volume = us.total_volume
 
     design, u = us.design0, us.u0
+    # Subspace-recycled CG (params.cg_recycle_k, same recipe as the voxel
+    # driver): ring buffer of recent solutions whose deltas deflate the
+    # warm-start residual.  Element sharding replicates node fields, so
+    # the buffer is mesh-compatible as-is.
+    rhist = None
+    push_jit = None
+    if params.cg_recycle_k > 1:
+        rhist = jnp.zeros((params.cg_recycle_k, *u.shape),
+                          us.dtype).at[0].set(u)
+        push_jit = jax.jit(
+            lambda H, unew: jnp.concatenate([unew[None], H[:-1]]))
     energy_history, volume_history = [], []
     change_history, cg_history = [], []
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
@@ -275,9 +291,15 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
 
     for it in range(start_iteration, params.max_iterations + 1):
         iteration = it
-        (new_design, u, phys, energy, volume, change, lam, grayness,
-         max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg, max_abs,
-         fsens) = step_jit(design, u)
+        if rhist is None:
+            (new_design, u, phys, energy, volume, change, lam, grayness,
+             max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg,
+             max_abs, fsens) = step_jit(design, u)
+        else:
+            (new_design, u, phys, energy, volume, change, lam, grayness,
+             max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg,
+             max_abs, fsens) = step_jit(design, u, recycle=rhist)
+            rhist = push_jit(rhist, u)
 
         energy, volume, change = float(energy), float(volume), float(change)
         vol_frac = volume / total_volume
