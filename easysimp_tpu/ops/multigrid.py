@@ -339,29 +339,45 @@ class MultigridPreconditioner:
 
     def _build_stencils(self, scale, masks):
         """Galerkin stencil per level >= 1 (None at level 0: the fine level
-        smooths with the element operator / fused Pallas kernel)."""
+        smooths with the element operator / fused Pallas kernel).
+
+        Stencils are UNFOLDED (no Dirichlet fold): folding re-streams the
+        full coefficient tensor (267 MB at 128^3 level 1) once per level
+        per SIMP iteration, while masking the APPLY touches only node
+        fields ~80x smaller (`_masked_stencil_apply`).  Every cycle/setup
+        input at a stencil level is pre-masked (restricted residuals and
+        power vectors), for which mask*C*(mask v) == the folded operator
+        exactly (the fold's (1-mask) identity term vanishes on masked
+        input).  NOTE the deliberate fold-order deviation from the pure
+        RAP chain: RAP levels inherit the finer stencil, masking happens
+        per level at apply time — both SPD preconditioners; measured
+        equal-to-better CG on the 48^3 trajectory study."""
         stencils = [None] * self.n_levels
         if not self.galerkin or self.n_levels < 2:
             return stencils
         for lvl in range(1, self.n_levels):
             if lvl in self._Gs:
-                # Direct from the fine scale (one im2col matmul; BCs folded
-                # with this level's own coarse mask).  NOTE the deliberate
-                # fold-order deviation from the pure RAP chain: RAP levels
-                # inherit the FOLDED finer stencil, the direct build folds
-                # AFTER coarsening — both SPD preconditioners; measured
-                # equal-to-better CG on the 48^3 trajectory study.
-                S = level_stencil_from_scale(scale, self._Gs[lvl], lvl)
-                stencils[lvl] = fold_bc_into_stencil(S, masks[lvl])
+                stencils[lvl] = level_stencil_from_scale(
+                    scale, self._Gs[lvl], lvl)
             else:
                 stencils[lvl] = coarsen_stencil(stencils[lvl - 1])
         return stencils
+
+    @staticmethod
+    def _masked_stencil_apply(stencil, mask, v):
+        """Masked action of an UNFOLDED stencil: M C (M v).  Equal to the
+        BC-folded stencil's action on masked inputs (the only inputs the
+        cycle produces); the two mask passes cost ~3 MB of node-field
+        traffic vs the 267 MB coefficient re-stream a per-iteration fold
+        would take."""
+        return mask * apply_stencil(stencil, mask * v)
 
     def _level_apply(self, lvl, scales, masks, stencils):
         """The level-`lvl` operator action used during SETUP (power
         iteration); cycle-time applies read from `state` via _apply_level."""
         if stencils[lvl] is not None:
-            return lambda v: apply_stencil(stencils[lvl], v)
+            return lambda v: self._masked_stencil_apply(
+                stencils[lvl], masks[lvl], v)
         op = self.ops[lvl]
         return lambda v: op.apply(v, scales[lvl], masks[lvl])
 
@@ -422,8 +438,8 @@ class MultigridPreconditioner:
     def _power_one_stencil(self, lvl, stencil_l, mask_l, v0):
         diag = stencil_diagonal(stencil_l)
         _, v = self._estimate_lambda_max(
-            lambda w: apply_stencil(stencil_l, w), mask_l, diag, v0,
-            self.power_iters)
+            lambda w: self._masked_stencil_apply(stencil_l, mask_l, w),
+            mask_l, diag, v0, self.power_iters)
         return v
 
     def _level_diag(self, lvl, scales, masks, stencils):
@@ -462,6 +478,9 @@ class MultigridPreconditioner:
             else:
                 # Gershgorin: lam_max(D^-1 A) <= max_i rowabs_i / diag_i.
                 if stencils[lvl] is not None:
+                    # Unfolded rowabs upper-bound the masked operator's
+                    # (|mask C mask|_row <= |C|_row entrywise) — a safe,
+                    # possibly looser Chebyshev bound on this rare path.
                     rowabs = stencil_row_abs_sums(stencils[lvl])
                 else:
                     rowabs = self.ops[lvl].row_abs_sums(scales[lvl],
@@ -474,9 +493,11 @@ class MultigridPreconditioner:
             omegas.append(4.0 / (3.0 * lam))
 
         if stencils[-1] is not None:
-            # Galerkin coarsest: dense from the (already BC-folded) stencil;
+            # Galerkin coarsest: fold BCs HERE (the one tiny level where the
+            # dense factorization needs the identity rows), then densify;
             # vectors flatten in natural C order (stencil_to_dense layout).
-            cho = self._scaled_cholesky(stencil_to_dense(stencils[-1]))
+            folded = fold_bc_into_stencil(stencils[-1], masks[-1])
+            cho = self._scaled_cholesky(stencil_to_dense(folded))
             mask_flat = None
         else:
             cg = self.ops[-1].grid
@@ -507,7 +528,7 @@ class MultigridPreconditioner:
         """Cycle-time operator action at `lvl` (stencil or element-based)."""
         st = state["stencils"][lvl]
         if st is not None:
-            return apply_stencil(st, v)
+            return self._masked_stencil_apply(st, state["masks"][lvl], v)
         op = self.cycle_ops[lvl]
         return op.apply(v, state["scales"][lvl], state["masks"][lvl])
 
