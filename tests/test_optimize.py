@@ -199,6 +199,30 @@ def test_mg_setup_every_trajectory_matches():
                                rtol=1e-7, atol=1e-9)
 
 
+def test_cg_recycle_trajectory_matches():
+    """Subspace-recycled CG (cg_recycle_k) only changes the warm start of
+    each solve; with a tight cg_rtol the SIMP trajectory must agree with
+    the non-recycled run to solver tolerance, with no extra CG
+    iterations."""
+    grid, bc, load, params = build_cantilever((10, 6, 4), max_iter=7)
+
+    def run(k):
+        p = et.OptimizationParameters(
+            **{**params.__dict__, "preconditioner": "multigrid",
+               "cg_rtol": 1e-12, "cg_recycle_k": k})
+        return et.simp_optimize(grid, [load], [bc], p)
+
+    res0 = run(0)
+    res4 = run(4)
+    np.testing.assert_allclose(res4.energy_history, res0.energy_history,
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res4.densities),
+                               np.asarray(res0.densities),
+                               rtol=1e-7, atol=1e-9)
+    assert sum(res4.cg_iterations_history) <= \
+        sum(res0.cg_iterations_history)
+
+
 def test_step_precond_cg_split_matches_step_solve():
     """The round-3 three-program split (step_precond | step_cg | step_update)
     must reproduce the two-program iteration: same CG iteration counts and
