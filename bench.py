@@ -253,6 +253,7 @@ def run_measurement():
         preconditioner="multigrid", use_pallas_matvec=use_pallas,
         mg_cycle_dtype=mg_dtype,
         mg_stencil_dtype=os.environ.get("BENCH_STENCIL_DTYPE", ""),
+        mg_refresh_iters=int(os.environ.get("BENCH_REFRESH_ITERS", "2")),
         mg_galerkin=os.environ.get("BENCH_GALERKIN", "1") == "1",
         mg_cycle=os.environ.get("BENCH_MG_CYCLE", "v"),
         mg_smooth_iters=ast.literal_eval(

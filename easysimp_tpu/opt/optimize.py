@@ -104,6 +104,7 @@ def _build_preconditioner(op, params):
             cycle_dtype=cycle_dtype, galerkin=params.mg_galerkin,
             cycle=params.mg_cycle, coarsen=params.mg_coarsen,
             stencil_dtype=stencil_dtype,
+            refresh_iters=params.mg_refresh_iters,
         )
         if mg.n_levels > 1:
             return (mg.stateful_factory(), mg.init_power_vectors(),

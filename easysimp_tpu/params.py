@@ -107,6 +107,13 @@ class OptimizationParameters:
                                         # mixed is ~20% WORSE than arithmetic
                                         # — keep arithmetic; the real fix is
                                         # mg_galerkin=True (default)
+    mg_refresh_iters: int = 2           # power-iteration refreshes of the
+                                        # carried lambda_max state per SIMP
+                                        # iteration (ops/multigrid.py setup);
+                                        # 1 halves the refresh cost (~10 ms
+                                        # at 128^3) against slightly staler
+                                        # Chebyshev bounds (1.1 headroom
+                                        # absorbs the drift)
     mg_setup_every: int = 1             # rebuild the multigrid preconditioner
                                         # state (Galerkin stencils, lambda_max
                                         # power refresh, coarsest Cholesky)
