@@ -8,8 +8,19 @@ stderr.
 
 Runs the measurement in a CHILD process (first with the fused Pallas matvec,
 then — if the child dies, e.g. on a TPU kernel fault, which wedges the device
-for the whole process — retried without it in a fresh process).  Set
-BENCH_NELS / BENCH_DTYPE / BENCH_ITERS to override sizes locally.
+for the whole process — retried without it in a fresh process).
+
+Env knobs (defaults = the round-3 measured-best single-chip config):
+  BENCH_NELS / BENCH_DTYPE / BENCH_ITERS   problem size / dtype / window
+  BENCH_MG_DTYPE      V-cycle interior dtype (default bfloat16)
+  BENCH_MG_SMOOTH     per-level Chebyshev degrees (default "(1, 2)")
+  BENCH_STENCIL_DTYPE Galerkin coefficient storage override (default "")
+  BENCH_RECYCLE_K     subspace-recycled CG ring size (default 0 = off)
+  BENCH_REFRESH_ITERS power-refresh depth per iteration (default 2)
+  BENCH_GALERKIN / BENCH_MG_CYCLE / BENCH_SETUP_EVERY   MG structure
+  BENCH_LATE_START / BENCH_SKIP_LATE   late-window placement
+  BENCH_SHARDED=N     emit the N-device GSPMD collective evidence instead
+  BENCH_BUDGET_S / BENCH_CKPT          retry budget / checkpoint path
 """
 
 from __future__ import annotations
