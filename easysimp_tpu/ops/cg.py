@@ -97,8 +97,16 @@ def cg_solve(
         eps = 10.0 * jnp.finfo(G.dtype).eps \
             * jnp.max(jnp.abs(jnp.diagonal(G))) + 1e-30
         y = jnp.linalg.solve(G + eps * jnp.eye(m, dtype=G.dtype), g)
-        x0 = x0 + jnp.tensordot(y, deflate, axes=1)
-        r0 = r0 - jnp.tensordot(y, AW, axes=1)
+        x0_p = x0 + jnp.tensordot(y, deflate, axes=1)
+        r0_p = r0 - jnp.tensordot(y, AW, axes=1)
+        # Monotonicity guard: late-trajectory solution deltas become nearly
+        # parallel, and an ill-conditioned G solved in working precision can
+        # amplify roundoff past the projection's exact-arithmetic optimality.
+        # Accept the projected start only if it actually shrank the residual
+        # (two reductions — negligible next to the m operator applies).
+        better = _vdot(r0_p, r0_p) < _vdot(r0, r0)
+        x0 = jnp.where(better, x0_p, x0)
+        r0 = jnp.where(better, r0_p, r0)
     z0 = M(r0)
     rz0 = _vdot(r0, z0)
 
