@@ -199,6 +199,24 @@ def test_mg_setup_every_trajectory_matches():
                                rtol=1e-7, atol=1e-9)
 
 
+def test_bench_config_trajectory_parity():
+    """The bench's measured-best TPU composition — fp32, Galerkin V(1,2),
+    bfloat16 cycle interior, subspace-recycled CG — must still track the
+    fp64 direct-solver reference: the low-precision pieces only steer the
+    preconditioner/warm start, CG converges to cg_rtol either way."""
+    grid, bc, load, params = build_cantilever((10, 6, 4), max_iter=8)
+    p = et.OptimizationParameters(
+        **{**params.__dict__, "dtype": "float32", "cg_rtol": 1e-6,
+           "preconditioner": "multigrid", "mg_smooth_iters": (1, 2),
+           "mg_cycle_dtype": "bfloat16", "cg_recycle_k": 4})
+    res = et.simp_optimize(grid, [load], [bc], p)
+    ref = run_reference(grid, bc, load, params)
+    np.testing.assert_allclose(res.energy_history, ref["energies"],
+                               rtol=2e-4)
+    np.testing.assert_allclose(res.volume_history, ref["volumes"],
+                               rtol=1e-5)
+
+
 def test_cg_recycle_trajectory_matches():
     """Subspace-recycled CG (cg_recycle_k) only changes the warm start of
     each solve; with a tight cg_rtol the SIMP trajectory must agree with
