@@ -448,9 +448,15 @@ def build_voxel_step(grid, loads, boundary_conditions,
         in_solve, in_update, in_step = step_solve, step_update, step
         in_metrics, in_solve_only, in_power = metrics, solve_only, power_init
 
-        def step_solve(design, u_prev, pvecs, f_ext, free_mask):
+        def step_solve(design, u_prev, pvecs, f_ext, free_mask,
+                       recycle=None):
+            # recycle rides in PADDED node shape (like u_prev); crop each
+            # ring-buffer slot for the exact-shape inner solve.
+            if recycle is not None:
+                recycle = jnp.stack([_crop(recycle[i])
+                                     for i in range(recycle.shape[0])])
             o = in_solve(design, _crop(u_prev), pvecs, _crop(f_ext),
-                         _crop(free_mask))
+                         _crop(free_mask), recycle=recycle)
             return (o[0], _pad(o[1]), *o[2:])
 
         def step_update(design, phys, u, vsens):
@@ -579,9 +585,10 @@ def simp_optimize(grid, loads, boundary_conditions,
     pvecs = vs.pvecs0
     # Subspace-recycled CG (params.cg_recycle_k): ring buffer of the last k
     # solutions, whose deltas deflate the warm-start residual (ops/cg.py).
-    # Exact-shape node fields only — the padded/sharded mesh path manages
-    # node layouts itself, so recycling stays single-device for now.
-    recycle_k = params.cg_recycle_k if mesh is None else 0
+    # Under a device mesh the buffer rides in the PADDED node shape like u
+    # (the step wrapper crops each slot); the deflation Gram matmuls become
+    # sharded reductions under GSPMD.
+    recycle_k = params.cg_recycle_k
     rhist = None
     push_jit = None
     if recycle_k > 1:

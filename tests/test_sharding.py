@@ -114,6 +114,23 @@ def test_sharded_full_optimize_matches(devices):
     np.testing.assert_allclose(res8.densities, res1.densities, atol=1e-9)
 
 
+def test_sharded_recycled_optimize_matches(devices):
+    """Subspace-recycled CG under a device mesh (padded ring buffer,
+    sharded deflation Gram reductions) equals the single-device recycled
+    run."""
+    grid, bc, load = _problem((8, 8, 4))
+    params = et.OptimizationParameters(
+        E0=100.0, Emin=1e-6, volume_fraction=0.5, max_iterations=4,
+        tolerance=0.01, filter_radius=1.5, dtype="float64", cg_rtol=1e-11,
+        cg_recycle_k=3)
+    res1 = et.simp_optimize(grid, [load], [bc], params)
+    mesh = make_mesh(8, shape=(2, 2, 2), devices=devices)
+    res8 = et.simp_optimize(grid, [load], [bc], params, mesh=mesh)
+    np.testing.assert_allclose(res8.energy_history, res1.energy_history,
+                               rtol=1e-8)
+    np.testing.assert_allclose(res8.densities, res1.densities, atol=1e-9)
+
+
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")
