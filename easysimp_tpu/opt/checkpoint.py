@@ -23,17 +23,24 @@ _FORMAT_VERSION = 1
 
 def save_checkpoint(path, *, design, u, iteration, energy_history,
                     volume_history, change_history, cg_history,
-                    checkpoint_triggered, converged=False, pvecs=()) -> str:
+                    checkpoint_triggered, converged=False, pvecs=(),
+                    recycle=None) -> str:
     """Write optimizer state; arrays are stored in float64.
 
     pvecs: the multigrid lambda_max power-iteration state (per-level node
     fields) — persisted so a resumed run reproduces the uninterrupted
     trajectory exactly (the warm smoother estimates differ from a cold
-    re-initialization at the CG-tolerance level)."""
+    re-initialization at the CG-tolerance level).
+
+    recycle: the subspace-recycling solution ring buffer (cg_recycle_k) —
+    persisted for the same reason: a zeroed buffer on resume would change
+    warm starts (still within cg_rtol, but no longer bit-reproducing)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     pvec_arrays = {f"pvec_{i}": np.asarray(v, dtype=np.float64)
                    for i, v in enumerate(pvecs)}
+    if recycle is not None:
+        pvec_arrays["recycle"] = np.asarray(recycle, dtype=np.float64)
     # Atomic update: write a sibling temp file and os.replace() it over the
     # target, so a preemption mid-write (the exact scenario checkpointing
     # exists for) can never truncate the only saved state.  The temp name
@@ -84,6 +91,7 @@ def load_checkpoint(path) -> dict:
                 break
             pvecs.append(z[key])
         state["pvecs"] = pvecs
+        state["recycle"] = z["recycle"] if "recycle" in z.files else None
     print_info(f"Checkpoint loaded: {path} (iteration {state['iteration']})")
     return state
 

@@ -628,6 +628,22 @@ def simp_optimize(grid, loads, boundary_conditions,
             pvecs = tuple(jnp.asarray(v, dtype=vs.dtype)
                           for v in saved_pvecs)
             resumed_pvecs = True
+        saved_rec = state.get("recycle")
+        if rhist is not None:
+            if saved_rec is not None and \
+                    saved_rec.shape[0] == recycle_k:
+                slots = [jnp.asarray(saved_rec[i], dtype=vs.dtype)
+                         for i in range(recycle_k)]
+                if mesh is not None:
+                    from ..parallel.sharding import shard_voxel_state
+
+                    _, slots = shard_voxel_state(
+                        mesh, cell_fields=(), node_fields=tuple(slots))
+                rhist = jnp.stack(list(slots))
+            else:
+                # checkpoint predates recycling (or different k): seed the
+                # buffer with the restored warm start.
+                rhist = jnp.zeros_like(rhist).at[0].set(u)
     if params.tolerance_checkpoints:
         print_info(
             f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
@@ -663,6 +679,9 @@ def simp_optimize(grid, loads, boundary_conditions,
                 change_history=change_history, cg_history=cg_history,
                 checkpoint_triggered=checkpoint_triggered,
                 pvecs=[np.asarray(v) for v in pvecs],
+                recycle=(np.stack([np.asarray(vs.crop_node(rhist[i]))
+                                   for i in range(recycle_k)])
+                         if rhist is not None else None),
             )
 
     profile_ctx = None

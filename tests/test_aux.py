@@ -40,6 +40,36 @@ class TestCheckpointResume:
         np.testing.assert_allclose(res_resumed.densities, res_full.densities,
                                    atol=1e-12)
 
+    def test_resume_with_recycling_reproduces_run(self, tmp_path):
+        """The subspace-recycling ring buffer is checkpointed state: a
+        resumed recycled run must reproduce the uninterrupted recycled
+        trajectory to fp64 roundoff (a zeroed buffer would change warm
+        starts within cg_rtol — correct, but not bit-reproducing)."""
+        def with_recycle(p):
+            p.dtype = "float64"
+            p.cg_recycle_k = 3
+            return p
+
+        grid, loads, bcs, params, _ = _problem()
+        res_full = et.simp_optimize(grid, loads, bcs, with_recycle(params))
+
+        grid, loads, bcs, p1, _ = _problem()
+        p1 = with_recycle(p1)
+        p1.max_iterations = 4
+        p1.checkpoint_interval = 4
+        p1.checkpoint_path = str(tmp_path / "rk")
+        et.simp_optimize(grid, loads, bcs, p1)
+
+        grid, loads, bcs, p2, _ = _problem()
+        res_resumed = et.simp_optimize(
+            grid, loads, bcs, with_recycle(p2),
+            resume_from=str(tmp_path / "rk"))
+
+        np.testing.assert_allclose(res_resumed.energy_history,
+                                   res_full.energy_history, rtol=1e-10)
+        np.testing.assert_allclose(res_resumed.densities, res_full.densities,
+                                   atol=1e-12)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from easysimp_tpu.opt.checkpoint import load_checkpoint, \
             save_checkpoint
