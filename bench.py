@@ -548,9 +548,26 @@ def main():
         env = dict(os.environ, BENCH_CHILD="1", BENCH_USE_PALLAS=flag)
         log(f"--- bench attempt: {name} ---")
         t_att = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__)],
-            env=env, stdout=subprocess.PIPE, text=True)
+        # Hard per-child wall cap: a dead TPU tunnel hangs children inside
+        # backend init (observed 25+ min at jax.devices() during the
+        # round-3 relay outage) — without this the whole bench would hang
+        # instead of cycling attempts / reporting failure.
+        child_cap = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "2400"))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, text=True,
+                timeout=child_cap)
+        except subprocess.TimeoutExpired as e:
+            stdout = e.stdout or b""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            log(f"attempt '{name}' timed out after {child_cap:.0f}s")
+            attempt_log.append({
+                "name": name, "rc": "timeout", "ok": False,
+                "wall_s": round(time.time() - t_att, 1),
+            })
+            continue
         out = proc.stdout.strip().splitlines()
         json_lines = [l for l in out if l.startswith("{")]
         attempt_log.append({
