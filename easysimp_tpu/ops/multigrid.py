@@ -37,7 +37,6 @@ from .stencil import (
     coarsen_stencil,
     compose_level_weights,
     fold_bc_into_stencil,
-    level1_stencil_from_scale,
     level1_weights,
     level_stencil_from_scale,
     stencil_diagonal,
