@@ -199,6 +199,28 @@ def test_mg_setup_every_trajectory_matches():
                                rtol=1e-7, atol=1e-9)
 
 
+def test_split3_with_recycle_matches():
+    """The three-program (precond | cg | update) driver path combined with
+    subspace recycling — the exact composition the TPU bench runs — must
+    match the one-program recycled trajectory."""
+    grid, bc, load, params = build_cantilever((10, 6, 4), max_iter=6)
+
+    def run(setup_every):
+        p = et.OptimizationParameters(
+            **{**params.__dict__, "preconditioner": "multigrid",
+               "cg_rtol": 1e-12, "cg_recycle_k": 3,
+               "mg_setup_every": setup_every})
+        return et.simp_optimize(grid, [load], [bc], p)
+
+    res1 = run(1)   # two-program path
+    res2 = run(2)   # forces use_split3 on CPU
+    np.testing.assert_allclose(res2.energy_history, res1.energy_history,
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res2.densities),
+                               np.asarray(res1.densities),
+                               rtol=1e-7, atol=1e-9)
+
+
 def test_bench_config_trajectory_parity():
     """The bench's measured-best TPU composition — fp32, Galerkin V(1,2),
     bfloat16 cycle interior, subspace-recycled CG — must still track the
