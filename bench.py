@@ -353,9 +353,9 @@ def run_measurement():
     rhist = None
     push_jit = None
     if recycle_k > 1:
-        rhist = jnp.zeros((recycle_k, *u.shape), u.dtype).at[0].set(u)
-        push_jit = jax.jit(
-            lambda H, unew: jnp.concatenate([unew[None], H[:-1]]))
+        from easysimp_tpu.ops.cg import recycle_init, recycle_push
+        rhist = recycle_init(recycle_k, u)
+        push_jit = jax.jit(recycle_push)
         log(f"subspace recycling enabled: k={recycle_k}")
 
     def one_step(design, u, pvecs):
@@ -562,7 +562,9 @@ def main():
             stdout = e.stdout or b""
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
-            log(f"attempt '{name}' timed out after {child_cap:.0f}s")
+            tail = stdout.strip().splitlines()[-1:] or ["<no output>"]
+            log(f"attempt '{name}' timed out after {child_cap:.0f}s "
+                f"(last stdout: {tail[0][:200]})")
             attempt_log.append({
                 "name": name, "rc": "timeout", "ok": False,
                 "wall_s": round(time.time() - t_att, 1),

@@ -19,7 +19,31 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CGResult", "cg_solve"]
+__all__ = ["CGResult", "cg_solve", "recycle_init", "recycle_push",
+           "recycle_deflate"]
+
+
+# --- subspace-recycling ring buffer (shared by the voxel/unstructured
+# drivers and bench.py so the three call sites cannot diverge) ----------
+def recycle_init(k, u):
+    """(k, *u.shape) ring buffer seeded with the current warm start in
+    slot 0 (zeros elsewhere — rank-deficiency is handled by the ridge in
+    `cg_solve`'s deflation)."""
+    return jnp.zeros((k, *u.shape), u.dtype).at[0].set(u)
+
+
+def recycle_push(H, u_new):
+    """Shift the ring: newest solution first, oldest dropped."""
+    return jnp.concatenate([u_new[None], H[:-1]])
+
+
+def recycle_deflate(free_mask, recycle):
+    """Deflation basis from the ring buffer: deltas of recent solutions
+    against the newest one (== the warm start) — the directions the
+    design evolution keeps re-exciting."""
+    if recycle is None:
+        return None
+    return (recycle[1:] - recycle[:1]) * free_mask
 
 
 class CGResult(NamedTuple):

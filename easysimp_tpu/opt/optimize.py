@@ -30,7 +30,8 @@ from ..bcs import build_free_mask
 from ..config import default_dtype
 from ..grids import VoxelGrid
 from ..loads import build_load_field, voxel_body_force
-from ..ops.cg import cg_solve
+from ..ops.cg import (cg_solve, recycle_deflate, recycle_init,
+                       recycle_push)
 from ..ops.filters import create_filter_cache
 from ..ops.oc import (
     MAX_BISECTION,
@@ -267,14 +268,6 @@ def build_voxel_step(grid, loads, boundary_conditions,
         _, mu_f = material_model(phys)
         return mu_f / mu_unit
 
-    def _recycle_deflate(free_mask, recycle):
-        """Deflation basis from the solution ring buffer (ops/cg.py):
-        deltas of recent solutions against the newest one — the directions
-        the design evolution keeps re-exciting.  recycle[0] is the most
-        recent solution (== the warm start)."""
-        if recycle is None:
-            return None
-        return (recycle[1:] - recycle[:1]) * free_mask
 
     def forward(design, u_prev, pvecs, f_ext, free_mask, recycle=None):
         """Shared physics: filter -> loads -> solve -> energy/volume."""
@@ -293,7 +286,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
         M, new_pvecs = precond_factory(scale, free_mask, pvecs)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
                        rtol=params.cg_rtol, maxiter=params.cg_maxiter,
-                       deflate=_recycle_deflate(free_mask, recycle))
+                       deflate=recycle_deflate(free_mask, recycle))
         # 0.5 u^T K u without an extra matvec: K u = f - r at the CG exit.
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys) * elem_vol
@@ -398,7 +391,7 @@ def build_voxel_step(grid, loads, boundary_conditions,
         M = mg_obj._make_M(state)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
                        rtol=params.cg_rtol, maxiter=params.cg_maxiter,
-                       deflate=_recycle_deflate(free_mask, recycle))
+                       deflate=recycle_deflate(free_mask, recycle))
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys) * elem_vol
         return sol.u, energy, volume, sol.iterations, sol.residual_norm
@@ -592,10 +585,8 @@ def simp_optimize(grid, loads, boundary_conditions,
     rhist = None
     push_jit = None
     if recycle_k > 1:
-        rhist = jnp.zeros((recycle_k, *vs.u0.shape), vs.dtype)
-        rhist = rhist.at[0].set(u)
-        push_jit = jax.jit(
-            lambda H, unew: jnp.concatenate([unew[None], H[:-1]]))
+        rhist = recycle_init(recycle_k, u)
+        push_jit = jax.jit(recycle_push)
     energy_history: list[float] = []
     volume_history: list[float] = []
     change_history: list[float] = []
@@ -643,7 +634,7 @@ def simp_optimize(grid, loads, boundary_conditions,
             else:
                 # checkpoint predates recycling (or different k): seed the
                 # buffer with the restored warm start.
-                rhist = jnp.zeros_like(rhist).at[0].set(u)
+                rhist = recycle_init(recycle_k, u)
     if params.tolerance_checkpoints:
         print_info(
             f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")

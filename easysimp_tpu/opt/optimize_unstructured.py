@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from ..bcs import build_free_mask
 from ..config import default_dtype
 from ..loads import build_load_field
-from ..ops.cg import cg_solve
+from ..ops.cg import (cg_solve, recycle_deflate, recycle_init,
+                       recycle_push)
 from ..ops.elements import element_stiffness_batch_np, shape_integrals_batch_np
 from ..ops.filters import UnstructuredFilter
 from ..ops.oc import MAX_BISECTION, oc_update, sensitivity_health
@@ -174,10 +175,7 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         else:
             diag = op.diagonal(scale, free_mask)
             M = lambda r: r / diag
-        deflate = None
-        if recycle is not None:
-            # solution-delta basis, same recipe as the voxel driver
-            deflate = (recycle[1:] - recycle[:1]) * free_mask
+        deflate = recycle_deflate(free_mask, recycle)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
                        rtol=params.cg_rtol, maxiter=params.cg_maxiter,
                        deflate=deflate)
@@ -249,10 +247,8 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     rhist = None
     push_jit = None
     if params.cg_recycle_k > 1:
-        rhist = jnp.zeros((params.cg_recycle_k, *u.shape),
-                          us.dtype).at[0].set(u)
-        push_jit = jax.jit(
-            lambda H, unew: jnp.concatenate([unew[None], H[:-1]]))
+        rhist = recycle_init(params.cg_recycle_k, u)
+        push_jit = jax.jit(recycle_push)
     energy_history, volume_history = [], []
     change_history, cg_history = [], []
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
@@ -270,6 +266,15 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
         cg_history = state["cg_history"]
         checkpoint_triggered = restore_triggered(
             state["checkpoint_triggered"], params.tolerance_checkpoints)
+        if rhist is not None:
+            saved_rec = state.get("recycle")
+            if saved_rec is not None and \
+                    saved_rec.shape[0] == params.cg_recycle_k:
+                rhist = jnp.asarray(saved_rec, dtype=us.dtype)
+            else:
+                # checkpoint predates recycling (or different k): seed the
+                # buffer with the restored warm start.
+                rhist = recycle_init(params.cg_recycle_k, u)
 
     def _maybe_save_checkpoint(it, design, u):
         if params.checkpoint_interval > 0 and params.checkpoint_path and \
@@ -282,6 +287,7 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
                 energy_history=energy_history, volume_history=volume_history,
                 change_history=change_history, cg_history=cg_history,
                 checkpoint_triggered=checkpoint_triggered,
+                recycle=(np.asarray(rhist) if rhist is not None else None),
             )
 
     converged = False

@@ -2,7 +2,9 @@
 
 No reference analogue (the reference's CHOLMOD solve has no solver knobs);
 this example shows the round-3 measured-optimal configuration for large
-voxel problems on one TPU chip — the same settings bench.py defaults to:
+voxel problems on one TPU chip (bench.py defaults to the same settings
+minus recycling — see docs/performance_tuning.md for the TPU-validation
+status of each knob):
 
   * Galerkin multigrid (default) with per-level Chebyshev smoothing (1, 2);
   * bfloat16 V-cycle interior (`mg_cycle_dtype`): the stencil cycle is

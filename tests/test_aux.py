@@ -138,3 +138,33 @@ def test_unstructured_checkpoint_resume(tmp_path):
                                res_full.energy_history, rtol=1e-10)
     np.testing.assert_allclose(res_resumed.densities, res_full.densities,
                                atol=1e-12)
+
+
+def test_unstructured_checkpoint_resume_with_recycling(tmp_path):
+    """The recycle ring buffer round-trips through unstructured checkpoints
+    too (same bit-reproducing-resume contract as the voxel driver)."""
+    from test_unstructured import tet_mesh_from_voxels
+
+    mesh = tet_mesh_from_voxels((4, 2, 2))
+    fixed = et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0], 1e-6)
+    tip = et.select_nodes_by_box(mesh, [4, 0, 0], [4, 0, 2])
+    bc = et.apply_fixed_boundary(mesh, fixed)
+    load = et.PointLoad(tip, [0.0, -1.0, 0.0])
+
+    def params(**kw):
+        return et.OptimizationParameters(
+            E0=100.0, Emin=1e-6, volume_fraction=0.5, tolerance=1e-9,
+            filter_radius=1.5, dtype="float64", cg_rtol=1e-12,
+            cg_recycle_k=3, **kw)
+
+    res_full = et.simp_optimize(mesh, [load], [bc], params(max_iterations=6))
+    et.simp_optimize(mesh, [load], [bc], params(
+        max_iterations=3, checkpoint_interval=3,
+        checkpoint_path=str(tmp_path / "urk")))
+    res_resumed = et.simp_optimize(
+        mesh, [load], [bc], params(max_iterations=6),
+        resume_from=str(tmp_path / "urk"))
+    np.testing.assert_allclose(res_resumed.energy_history,
+                               res_full.energy_history, rtol=1e-10)
+    np.testing.assert_allclose(res_resumed.densities, res_full.densities,
+                               atol=1e-12)

@@ -259,8 +259,11 @@ def test_cg_recycle_trajectory_matches():
     np.testing.assert_allclose(np.asarray(res4.densities),
                                np.asarray(res0.densities),
                                rtol=1e-7, atol=1e-9)
+    # CG count is not strictly monotone in the starting residual (it
+    # depends on the error's spectral content); allow one extra iteration
+    # per solve of slack while still catching a broken projection.
     assert sum(res4.cg_iterations_history) <= \
-        sum(res0.cg_iterations_history)
+        sum(res0.cg_iterations_history) + len(res0.cg_iterations_history)
 
 
 def test_step_precond_cg_split_matches_step_solve():
