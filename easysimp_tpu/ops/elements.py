@@ -30,6 +30,7 @@ __all__ = [
     "tet4_stiffness_batch",
     "hex8_stiffness_batch",
     "element_stiffness_batch_np",
+    "element_stiffness_lame_basis_batch_np",
     "shape_integrals_batch_np",
 ]
 
@@ -301,9 +302,28 @@ def element_stiffness_batch_np(coords, E=1.0, nu=0.3):
     coords: (n, 4, 3) tet4 or (n, 8, 3) hex8 (VTK order).
     Returns (ke (n, d, d), volumes (n,)).
     """
+    return _stiffness_batch_np(coords, elasticity_matrix(E, nu))
+
+
+def element_stiffness_lame_basis_batch_np(coords):
+    """Batched Lamé-basis stiffnesses: (ke_lam (n,d,d), ke_mu (n,d,d)).
+
+    ke_e(lam, mu) = lam * ke_lam_e + mu * ke_mu_e exactly (D is linear in
+    the Lamé parameters) — the unstructured analogue of
+    `hex8_stiffness_lame_basis`, enabling the reference's variable-material
+    branch (`assemble_variable_material!`, FiniteElementAnalysis.jl:719-743)
+    on imported tet4/hex8 meshes without per-iteration re-quadrature.
+    """
+    kl, _ = _stiffness_batch_np(coords, elasticity_matrix_lame(1.0, 0.0))
+    km, _ = _stiffness_batch_np(coords, elasticity_matrix_lame(0.0, 1.0))
+    return kl, km
+
+
+def _stiffness_batch_np(coords, D):
+    """Batched ke for a fixed 6x6 elasticity matrix D; see
+    element_stiffness_batch_np."""
     coords = np.asarray(coords, dtype=np.float64)
     n, nn, _ = coords.shape
-    D = elasticity_matrix(E, nu)
     if nn == 4:
         J = coords[:, 1:4, :] - coords[:, 0:1, :]
         detJ = np.linalg.det(J)

@@ -333,3 +333,50 @@ class UnstructuredOperator:
     def compliance_sensitivities(self, u, rho_phys):
         dE = self.p * rho_phys ** (self.p - 1.0) * (self.E0 - self.Emin)
         return -dE * self.element_energies_unit(u)
+
+    # ----- variable-material (two-field Lamé) path ------------------------
+    # Unstructured analogue of VoxelOperator's Lamé-basis machinery: ke_e is
+    # linear in (lam, mu), so the reference's per-cell variable-material
+    # re-assembly (`assemble_variable_material!`,
+    # FiniteElementAnalysis.jl:719-743) becomes two batched contractions
+    # against two per-element Lamé fields.  The basis batches are installed
+    # by the driver only when a material_model is in use (they double the
+    # element-matrix storage).
+    ke_lam = None
+    ke_mu = None
+
+    def set_lame_basis(self, ke_lam, ke_mu):
+        """Install per-element (ke_lam, ke_mu) batches with
+        ke_e = lam_e * ke_lam_e + mu_e * ke_mu_e (see
+        elements.element_stiffness_lame_basis_batch_np)."""
+        self.ke_lam = jnp.asarray(ke_lam, dtype=self.dtype)
+        self.ke_mu = jnp.asarray(ke_mu, dtype=self.dtype)
+
+    def apply_K_lame(self, u, lam_field, mu_field):
+        """K(lam, mu) @ u with per-element Lamé fields (E,)."""
+        ue = u[self.dofmap]                                  # (E, d)
+        ql = jnp.einsum("eij,ej->ei", self.ke_lam, ue,
+                        precision=jax.lax.Precision.HIGHEST)
+        qm = jnp.einsum("eij,ej->ei", self.ke_mu, ue,
+                        precision=jax.lax.Precision.HIGHEST)
+        q = lam_field[:, None] * ql + mu_field[:, None] * qm
+        out = jnp.zeros(self.n_dofs, dtype=u.dtype)
+        return out.at[self.dofmap].add(q)
+
+    def apply_lame(self, u, lam_field, mu_field, free_mask):
+        """BC-masked SPD action of the variable-material operator."""
+        return free_mask * self.apply_K_lame(free_mask * u, lam_field,
+                                             mu_field)
+
+    def element_energies_lame(self, u):
+        """(u_e^T ke_lam u_e, u_e^T ke_mu u_e) element fields — the exact
+        material-derivative quadratics for variable-material sensitivities:
+        dc/drho_e = -(lam'(rho) w_lam + mu'(rho) w_mu)."""
+        ue = u[self.dofmap]
+        wl = jnp.sum(ue * jnp.einsum("eij,ej->ei", self.ke_lam, ue,
+                                     precision=jax.lax.Precision.HIGHEST),
+                     axis=-1)
+        wm = jnp.sum(ue * jnp.einsum("eij,ej->ei", self.ke_mu, ue,
+                                     precision=jax.lax.Precision.HIGHEST),
+                     axis=-1)
+        return wl, wm

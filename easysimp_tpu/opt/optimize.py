@@ -510,11 +510,6 @@ def simp_optimize(grid, loads, boundary_conditions,
         restores design/displacements/iteration/histories and continues.
     """
     if not isinstance(grid, VoxelGrid):
-        if params.material_model is not None:
-            raise NotImplementedError(
-                "material_model (the variable-material branch) is currently "
-                "implemented for voxel grids; the unstructured path uses the "
-                "SIMP law")
         if mesh is not None and tuple(mesh.axis_names) != ("e",):
             raise ValueError(
                 f"unstructured meshes need a 1-axis ('e',) element device "

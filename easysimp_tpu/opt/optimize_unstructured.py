@@ -44,7 +44,7 @@ def _resolve_dtype(params):
 class UnstructuredStep:
     def __init__(self, mesh, op, filt, step, solve, design0, u0,
                  element_volumes, total_volume, dtype, use_density_filter,
-                 shape_integrals):
+                 shape_integrals, element_energy):
         self.mesh = mesh
         self.op = op
         self.filt = filt
@@ -57,6 +57,7 @@ class UnstructuredStep:
         self.dtype = dtype
         self.use_density_filter = use_density_filter
         self.shape_integrals = shape_integrals
+        self.element_energy = element_energy
 
 
 def build_unstructured_step(mesh, loads, boundary_conditions,
@@ -83,6 +84,24 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         ke_unit, mesh.connectivity, mesh.n_nodes, E0=params.E0,
         Emin=params.Emin, nu=params.nu, p=params.p, dtype=dtype,
     )
+    material_model = params.material_model
+    # Equivalent-modulus field for the PRECONDITIONER under a custom
+    # material: E_eff = mu(rho) / mu_unit — exact when nu is density-
+    # independent; an SPD approximation otherwise (the preconditioner only
+    # steers CG, the operator itself stays exact).  Same recipe as the
+    # voxel driver (optimize.py:_precond_scale).
+    mu_unit = 1.0 / (2.0 * (1.0 + params.nu))
+    if material_model is not None:
+        from ..ops.elements import element_stiffness_lame_basis_batch_np
+
+        op.set_lame_basis(*element_stiffness_lame_basis_batch_np(coords))
+
+    def _precond_scale(phys):
+        if material_model is None:
+            return op.youngs_modulus(phys)
+        _, mu_f = material_model(phys)
+        return mu_f / mu_unit
+
     element_volumes = jnp.asarray(vols, dtype=dtype)
     total_volume = float(vols.sum())
 
@@ -115,6 +134,8 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         rep = replicated_sharding(device_mesh)
         put_e = lambda x: jax.device_put(x, es)
         op.ke, op.dofmap = put_e(op.ke), put_e(op.dofmap)
+        if op.ke_lam is not None:
+            op.ke_lam, op.ke_mu = put_e(op.ke_lam), put_e(op.ke_mu)
         for name in ("neighbors", "weights", "volumes", "weight_sum",
                      "wv_sum"):
             setattr(filt, name, put_e(getattr(filt, name)))
@@ -161,10 +182,14 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
 
     def forward(design, u_prev, recycle=None):
         phys = filt.density_filter(design) if use_density_filter else design
-        scale = op.youngs_modulus(phys)
+        scale = _precond_scale(phys)
         f = f_ext if shape_integrals is None else f_ext + body_force(phys)
         f_bc = f * free_mask
-        A = lambda v: op.apply(v, scale, free_mask)
+        if material_model is None:
+            A = lambda v: op.apply(v, scale, free_mask)
+        else:
+            lam_f, mu_f = material_model(phys)
+            A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
         if use_amg:
             Binv = op.block_diagonal_inverse(scale, free_mask)
             L, omega = amg.setup(scale, free_mask, Binv, A)
@@ -186,7 +211,15 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
     def step(design, u_prev, recycle=None):
         phys, sol, energy, volume = forward(design, u_prev, recycle=recycle)
         u = sol.u
-        sens = op.compliance_sensitivities(u, phys)
+        if material_model is None:
+            sens = op.compliance_sensitivities(u, phys)
+        else:
+            # exact material derivative via one elementwise jvp:
+            # dc/drho = -(lam'(rho) u_e^T ke_lam u_e + mu'(rho) u_e^T ke_mu u_e)
+            _, (dlam, dmu) = jax.jvp(material_model, (phys,),
+                                     (jnp.ones_like(phys),))
+            wl, wm = op.element_energies_lame(u)
+            sens = -(dlam * wl + dmu * wm)
         if use_density_filter:
             fsens = filt.chain_rule(sens)
         else:
@@ -212,9 +245,18 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         phys, sol, energy, _ = forward(design, jnp.zeros_like(u0))
         return phys, sol.u, energy
 
+    def element_energy(phys, u):
+        """0.5 * u_e^T K_e u_e element field (PostProcessing.jl:172-197)."""
+        if material_model is None:
+            return 0.5 * op.youngs_modulus(phys) * op.element_energies_unit(u)
+        lam_f, mu_f = material_model(phys)
+        wl, wm = op.element_energies_lame(u)
+        return 0.5 * (lam_f * wl + mu_f * wm)
+
     return UnstructuredStep(mesh, op, filt, step, solve_only, design0, u0,
                             element_volumes, total_volume, dtype,
-                            use_density_filter, shape_integrals)
+                            use_density_filter, shape_integrals,
+                            element_energy)
 
 
 def simp_optimize_unstructured(mesh, loads, boundary_conditions,
@@ -373,13 +415,12 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     stresses = unstructured_stresses(
         us.mesh, np.asarray(u, dtype=np.float64),
         np.asarray(phys, dtype=np.float64),
-        params.E0, params.Emin, params.nu, params.p)
+        params.E0, params.Emin, params.nu, params.p,
+        material_model=params.material_model)
     print_data(
         f"Maximum von Mises stress: {stresses.max_von_mises} "
         f"at cell {stresses.max_vm_cell}")
-    elem_energies = np.asarray(
-        0.5 * us.op.youngs_modulus(phys) * us.op.element_energies_unit(u),
-        dtype=np.float64)
+    elem_energies = np.asarray(us.element_energy(phys, u), dtype=np.float64)
 
     if logger is not None:
         logger.write_summary(final_energy, final_volume, converged)
@@ -415,10 +456,9 @@ def _export_intermediate(us, params, phys, u, energy, volume, iteration,
     stresses = unstructured_stresses(
         us.mesh, np.asarray(u, dtype=np.float64),
         np.asarray(phys, dtype=np.float64),
-        params.E0, params.Emin, params.nu, params.p)
-    elem_energies = np.asarray(
-        0.5 * us.op.youngs_modulus(phys) * us.op.element_energies_unit(u),
-        dtype=np.float64)
+        params.E0, params.Emin, params.nu, params.p,
+        material_model=params.material_model)
+    elem_energies = np.asarray(us.element_energy(phys, u), dtype=np.float64)
     interim = OptimizationResult(
         densities=np.asarray(phys, dtype=np.float64),
         displacements=np.asarray(u, dtype=np.float64),

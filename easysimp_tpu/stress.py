@@ -111,11 +111,15 @@ def _von_mises_np(sig):
         + 3.0 * (sxy**2 + syz**2 + sxz**2)))
 
 
-def unstructured_stresses(mesh, u_flat, rho_phys, E0, Emin, nu, p) -> StressField:
+def unstructured_stresses(mesh, u_flat, rho_phys, E0, Emin, nu, p,
+                          material_model=None) -> StressField:
     """Host-side (numpy float64) stress recovery for imported meshes.
 
     One-shot per run (final analysis / checkpoint exports), so host numpy is
     the right cost/complexity point; batched over all elements.
+    material_model: optional rho -> (lam, mu) closure — the reference passes
+    its material closure into calculate_stresses_simp the same way
+    (FiniteElementAnalysis.jl:567-580).
     """
     from .ops.elements import (
         _b_matrix_batch_np,
@@ -129,9 +133,14 @@ def unstructured_stresses(mesh, u_flat, rho_phys, E0, Emin, nu, p) -> StressFiel
         mesh.n_cells, -1)
     ue = np.asarray(u_flat, dtype=np.float64)[dofmap]  # (E, 3nn)
 
-    E_arr = simp_youngs_modulus(np.asarray(rho_phys, dtype=np.float64),
-                                E0, Emin, p)
-    lam, mu = lame_parameters(E_arr, nu)
+    if material_model is not None:
+        lam, mu = material_model(np.asarray(rho_phys, dtype=np.float64))
+        lam = np.asarray(lam, dtype=np.float64)
+        mu = np.asarray(mu, dtype=np.float64)
+    else:
+        E_arr = simp_youngs_modulus(np.asarray(rho_phys, dtype=np.float64),
+                                    E0, Emin, p)
+        lam, mu = lame_parameters(E_arr, nu)
 
     def sigma_from_eps(eps):
         tr = eps[..., 0] + eps[..., 1] + eps[..., 2]
@@ -150,7 +159,11 @@ def unstructured_stresses(mesh, u_flat, rho_phys, E0, Emin, nu, p) -> StressFiel
         B = _b_matrix_batch_np(dNdx)                   # (E, 6, 12)
         eps = np.einsum("nck,nk->nc", B, ue)
         sig = sigma_from_eps(eps)
-        qp = sig[:, None, :]                           # single qp
+        # Constant-strain tets: one evaluation, but the reference's
+        # QuadratureRule{RefTetrahedron}(2) has FOUR quadrature points
+        # (FiniteElementAnalysis.jl:142), so its Dict{cell -> [sigma_qp]}
+        # holds four (identical) tensors per tet — reproduce the shape.
+        qp = np.repeat(sig[:, None, :], 4, axis=1)
         avg = sig
     else:
         pts, wts = _gauss_points_2x2x2()

@@ -11,7 +11,6 @@ against the SIMP fast path when the model IS the SIMP law.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 import easysimp_tpu as et
 from easysimp_tpu.ops.elements import (
@@ -178,14 +177,129 @@ class TestMaterialModelDriver:
             fd = (compliance(dp) - compliance(dm)) / (2 * h)
             np.testing.assert_allclose(sens[i, j, k] / 2.0, fd, rtol=2e-4)
 
-    def test_unstructured_rejects_material_model(self):
-        from easysimp_tpu.mesh import UnstructuredMesh
+class TestUnstructuredMaterialModel:
+    """The variable-material branch on imported meshes — the reference's
+    `assemble_variable_material!` works for any Ferrite grid
+    (FiniteElementAnalysis.jl:719-743), so the unstructured path must accept
+    material_model too (round-3 VERDICT item 4)."""
 
-        grid = et.generate_grid((2, 2, 2))
-        conn = grid.hex_connectivity
-        mesh = UnstructuredMesh(node_coords=grid.node_coords,
-                                connectivity=conn)
+    def _tet_problem(self, nels=(3, 2, 2)):
+        from test_unstructured import tet_mesh_from_voxels
+
+        mesh = tet_mesh_from_voxels(nels)
+        bc = et.apply_fixed_boundary(
+            mesh, et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0], 1e-6))
+        load = et.PointLoad(
+            et.select_nodes_by_plane(mesh, [nels[0], 0, 0], [1, 0, 0], 1e-6),
+            [0.0, -1.0, 0.0])
+        return mesh, bc, load
+
+    def test_lame_basis_reconstructs_batched_ke(self):
+        from easysimp_tpu.ops.elements import (
+            element_stiffness_lame_basis_batch_np)
+
+        mesh, _, _ = self._tet_problem()
+        coords = mesh.node_coords[mesh.connectivity]
+        kl, km = element_stiffness_lame_basis_batch_np(coords)
+        lam, mu = lame_parameters(3.7, 0.28)
+        want, _ = element_stiffness_batch_np(coords, E=3.7, nu=0.28)
+        np.testing.assert_allclose(lam * kl + mu * km, want,
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_varying_nu_matches_dense_assembly(self):
+        """Density-dependent Poisson ratio on a tet mesh vs per-element
+        dense assembly (the case unit-ke scaling cannot express)."""
+        from easysimp_tpu.ops.elements import (
+            element_stiffness_lame_basis_batch_np)
+        from easysimp_tpu.ops.operator import UnstructuredOperator
+
+        mesh, _, _ = self._tet_problem()
+        coords = mesh.node_coords[mesh.connectivity]
+        ke_unit, _ = element_stiffness_batch_np(coords)
+        op = UnstructuredOperator(ke_unit, mesh.connectivity, mesh.n_nodes,
+                                  E0=1.0, Emin=1e-9, nu=0.3, p=3.0,
+                                  dtype=jnp.float64)
+        op.set_lame_basis(*element_stiffness_lame_basis_batch_np(coords))
+
+        rng = np.random.default_rng(7)
+        rho = rng.uniform(0.05, 1.0, mesh.n_cells)
+        u = rng.standard_normal(3 * mesh.n_nodes)
+
+        def model(r):
+            E = simp_youngs_modulus(r, 1.0, 1e-6, 3.0)
+            nu = 0.2 + 0.15 * r
+            return lame_parameters(E, nu)
+
+        lam_e, mu_e = model(rho)
+        got = np.asarray(op.apply_K_lame(jnp.asarray(u), jnp.asarray(lam_e),
+                                         jnp.asarray(mu_e)))
+
+        K = np.zeros((3 * mesh.n_nodes, 3 * mesh.n_nodes))
+        dofmap = np.asarray(op.dofmap)
+        for e in range(mesh.n_cells):
+            nu = lam_e[e] / (2.0 * (lam_e[e] + mu_e[e]))
+            E = 2.0 * mu_e[e] * (1.0 + nu)
+            ke, _ = element_stiffness_batch_np(coords[e:e + 1], E=E, nu=nu)
+            K[np.ix_(dofmap[e], dofmap[e])] += ke[0]
+        np.testing.assert_allclose(got, K @ u, rtol=1e-10, atol=1e-10)
+
+    def test_simp_closure_reproduces_default_trajectory(self):
+        """simp_optimize(material_model=<SIMP closure>) == the fast path on
+        a tet mesh, incl. stresses and element energies."""
+        mesh, bc, load = self._tet_problem()
+        kw = dict(E0=100.0, Emin=1e-6, nu=0.3, p=3.0, volume_fraction=0.4,
+                  max_iterations=3, tolerance=0.0, filter_radius=1.5,
+                  dtype="float64", cg_rtol=1e-12)
+        ref = et.simp_optimize(mesh, [load], [bc],
+                               et.OptimizationParameters(**kw))
+        model = et.create_simp_material_model(100.0, 0.3, Emin=1e-6, p=3.0)
+        got = et.simp_optimize(
+            mesh, [load], [bc],
+            et.OptimizationParameters(material_model=model, **kw))
+        np.testing.assert_allclose(got.energy_history, ref.energy_history,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(got.densities, ref.densities, atol=1e-9)
+        np.testing.assert_allclose(got.element_energies,
+                                   ref.element_energies, rtol=1e-8,
+                                   atol=1e-12)
+        np.testing.assert_allclose(got.stresses.qp_stresses,
+                                   ref.stresses.qp_stresses,
+                                   rtol=1e-8, atol=1e-12)
+
+    def test_sensitivities_match_finite_differences(self):
+        """jvp-based material-derivative sensitivities vs FD for a RAMP
+        interpolation with varying nu on a tet mesh."""
+        from easysimp_tpu.opt.optimize_unstructured import (
+            build_unstructured_step)
+
+        mesh, bc, load = self._tet_problem()
+
+        def model(r):
+            E = 1e-6 + r / (1.0 + 4.0 * (1.0 - r))   # RAMP, q=4
+            nu = 0.25 + 0.1 * r
+            return lame_parameters(E, nu)
+
         params = et.OptimizationParameters(
-            material_model=lambda r: lame_parameters(r, 0.3))
-        with pytest.raises(NotImplementedError):
-            et.simp_optimize(mesh, [], [], params)
+            material_model=model, volume_fraction=0.4, filter_radius=1.5,
+            dtype="float64", cg_rtol=1e-13, preconditioner="jacobi")
+        us = build_unstructured_step(mesh, [load], [bc], params)
+        rng = np.random.default_rng(3)
+        design = jnp.asarray(rng.uniform(0.3, 0.9, mesh.n_cells))
+
+        # filter_type defaults to "sensitivity", so phys == design here
+        solve = jax.jit(us.solve)
+        _, u, energy = solve(design)
+        _, (dlam, dmu) = jax.jvp(model, (design,), (jnp.ones_like(design),))
+        wl, wm = us.op.element_energies_lame(u)
+        sens = np.asarray(-(dlam * wl + dmu * wm))
+
+        def compliance(d):
+            _, _, e = solve(d)
+            return 2.0 * float(e)
+
+        h = 1e-6
+        for e in [0, mesh.n_cells // 2, mesh.n_cells - 1]:
+            dp = design.at[e].add(h)
+            dm = design.at[e].add(-h)
+            fd = (compliance(dp) - compliance(dm)) / (2 * h)
+            np.testing.assert_allclose(sens[e], fd, rtol=2e-4)
