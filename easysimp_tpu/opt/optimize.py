@@ -269,8 +269,13 @@ def build_voxel_step(grid, loads, boundary_conditions,
         return mu_f / mu_unit
 
 
-    def forward(design, u_prev, pvecs, f_ext, free_mask, recycle=None):
-        """Shared physics: filter -> loads -> solve -> energy/volume."""
+    def forward(design, u_prev, pvecs, f_ext, free_mask, recycle=None,
+                rtol=None):
+        """Shared physics: filter -> loads -> solve -> energy/volume.
+
+        rtol: optional per-iteration CG tolerance (device scalar) for the
+        adaptive-forcing (inexact SIMP) mode; None = the static
+        params.cg_rtol."""
         phys = filt.density_filter(design) if use_density_filter else design
         scale = _precond_scale(phys)
         f = f_ext
@@ -285,7 +290,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
             A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
         M, new_pvecs = precond_factory(scale, free_mask, pvecs)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
-                       rtol=params.cg_rtol, maxiter=params.cg_maxiter,
+                       rtol=params.cg_rtol if rtol is None else rtol,
+                       maxiter=params.cg_maxiter,
                        deflate=recycle_deflate(free_mask, recycle))
         # 0.5 u^T K u without an extra matvec: K u = f - r at the CG exit.
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
@@ -309,10 +315,12 @@ def build_voxel_step(grid, loads, boundary_conditions,
         jax.block_until_ready(scale)
         return mg_obj.power_init_split(scale, free_mask)
 
-    def step_solve(design, u_prev, pvecs, f_ext, free_mask, recycle=None):
+    def step_solve(design, u_prev, pvecs, f_ext, free_mask, recycle=None,
+                   rtol=None):
         """Program 1 of the iteration: filter -> MG-CG solve (Pallas)."""
         phys, sol, energy, volume, new_pvecs = forward(
-            design, u_prev, pvecs, f_ext, free_mask, recycle=recycle)
+            design, u_prev, pvecs, f_ext, free_mask, recycle=recycle,
+            rtol=rtol)
         return (phys, sol.u, energy, volume, sol.iterations,
                 sol.residual_norm, new_pvecs)
 
@@ -369,7 +377,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
         state, new_pvecs = mg_obj.setup(scale, free_mask, pvecs)
         return phys, state, new_pvecs
 
-    def step_cg(design, phys, state, u_prev, f_ext, free_mask, recycle=None):
+    def step_cg(design, phys, state, u_prev, f_ext, free_mask, recycle=None,
+                rtol=None):
         """Program 1b: the MG-CG solve on a prebuilt preconditioner state
         (from step_precond).  step_precond + step_cg == step_solve up to
         XLA fusion-boundary rounding (tests/test_optimize.py)."""
@@ -390,7 +399,8 @@ def build_voxel_step(grid, loads, boundary_conditions,
             A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
         M = mg_obj._make_M(state)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
-                       rtol=params.cg_rtol, maxiter=params.cg_maxiter,
+                       rtol=params.cg_rtol if rtol is None else rtol,
+                       maxiter=params.cg_maxiter,
                        deflate=recycle_deflate(free_mask, recycle))
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys) * elem_vol
@@ -442,14 +452,14 @@ def build_voxel_step(grid, loads, boundary_conditions,
         in_metrics, in_solve_only, in_power = metrics, solve_only, power_init
 
         def step_solve(design, u_prev, pvecs, f_ext, free_mask,
-                       recycle=None):
+                       recycle=None, rtol=None):
             # recycle rides in PADDED node shape (like u_prev); crop each
             # ring-buffer slot for the exact-shape inner solve.
             if recycle is not None:
                 recycle = jnp.stack([_crop(recycle[i])
                                      for i in range(recycle.shape[0])])
             o = in_solve(design, _crop(u_prev), pvecs, _crop(f_ext),
-                         _crop(free_mask), recycle=recycle)
+                         _crop(free_mask), recycle=recycle, rtol=rtol)
             return (o[0], _pad(o[1]), *o[2:])
 
         def step_update(design, phys, u, vsens):
@@ -582,6 +592,23 @@ def simp_optimize(grid, loads, boundary_conditions,
     if recycle_k > 1:
         rhist = recycle_init(recycle_k, u)
         push_jit = jax.jit(recycle_push)
+    # Adaptive CG forcing (inexact SIMP, params.cg_forcing): the solve only
+    # feeds sensitivities into a move-limited OC update, so its tolerance is
+    # tied to how fast the design still moves.  The rtol enters the compiled
+    # step as a DEVICE SCALAR — values change per iteration, the program
+    # does not.
+    if params.cg_forcing not in ("fixed", "adaptive"):
+        raise ValueError(f"cg_forcing must be 'fixed' or 'adaptive', "
+                         f"got {params.cg_forcing!r}")
+    adaptive_forcing = params.cg_forcing == "adaptive"
+
+    def _forcing_rtol(change_prev):
+        val = params.cg_rtol_max if change_prev is None else min(
+            params.cg_rtol_max,
+            max(params.cg_rtol, params.cg_forcing_coeff * change_prev))
+        return jnp.asarray(val, dtype=vs.dtype)
+
+    rtol_now = _forcing_rtol(None) if adaptive_forcing else None
     energy_history: list[float] = []
     volume_history: list[float] = []
     change_history: list[float] = []
@@ -630,6 +657,9 @@ def simp_optimize(grid, loads, boundary_conditions,
                 # checkpoint predates recycling (or different k): seed the
                 # buffer with the restored warm start.
                 rhist = recycle_init(recycle_k, u)
+    if adaptive_forcing and change_history:
+        # resumed runs restart the forcing schedule from the restored change
+        rtol_now = _forcing_rtol(change_history[-1])
     if params.tolerance_checkpoints:
         print_info(
             f"Tolerance checkpoints enabled: {params.tolerance_checkpoints}")
@@ -702,23 +732,26 @@ def simp_optimize(grid, loads, boundary_conditions,
                 phys = phys_jit(design) if phys_jit is not None else design
             if it == start_iteration:
                 jax.block_until_ready(pvecs)
-            if rhist is None:
-                (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
-                    design, phys, mg_state, u, f_ext_arg, free_mask_arg)
-            else:
-                (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
-                    design, phys, mg_state, u, f_ext_arg, free_mask_arg,
-                    recycle=rhist)
+            solve_kw = {}
+            if rhist is not None:
+                solve_kw["recycle"] = rhist
+            if adaptive_forcing:
+                solve_kw["rtol"] = rtol_now
+            (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
+                design, phys, mg_state, u, f_ext_arg, free_mask_arg,
+                **solve_kw)
             cg_since_refresh = int(cg_iters)
             if cg_baseline is None:
                 cg_baseline = cg_since_refresh
-        elif rhist is None:
-            (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
-                solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg)
         else:
+            solve_kw = {}
+            if rhist is not None:
+                solve_kw["recycle"] = rhist
+            if adaptive_forcing:
+                solve_kw["rtol"] = rtol_now
             (phys, u_new, energy, volume, cg_iters, cg_res, pvecs) = \
                 solve_part_jit(design, u, pvecs, f_ext_arg, free_mask_arg,
-                               recycle=rhist)
+                               **solve_kw)
         if rhist is not None:
             rhist = push_jit(rhist, u_new)
         if it == start_iteration:
@@ -741,6 +774,8 @@ def simp_optimize(grid, loads, boundary_conditions,
         energy = float(energy)
         volume = float(volume)
         change = float(change)
+        if adaptive_forcing:
+            rtol_now = _forcing_rtol(change)
         vol_frac = volume / total_volume
         energy_history.append(energy)
         volume_history.append(volume)

@@ -180,7 +180,7 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
             amg.Pn = jax.device_put(amg.Pn, rep)
             amg.agg_idx = jax.device_put(amg.agg_idx, rep)
 
-    def forward(design, u_prev, recycle=None):
+    def forward(design, u_prev, recycle=None, rtol=None):
         phys = filt.density_filter(design) if use_density_filter else design
         scale = _precond_scale(phys)
         f = f_ext if shape_integrals is None else f_ext + body_force(phys)
@@ -202,14 +202,16 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
             M = lambda r: r / diag
         deflate = recycle_deflate(free_mask, recycle)
         sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
-                       rtol=params.cg_rtol, maxiter=params.cg_maxiter,
+                       rtol=params.cg_rtol if rtol is None else rtol,
+                       maxiter=params.cg_maxiter,
                        deflate=deflate)
         energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
         volume = jnp.sum(phys * element_volumes)
         return phys, sol, energy, volume
 
-    def step(design, u_prev, recycle=None):
-        phys, sol, energy, volume = forward(design, u_prev, recycle=recycle)
+    def step(design, u_prev, recycle=None, rtol=None):
+        phys, sol, energy, volume = forward(design, u_prev, recycle=recycle,
+                                            rtol=rtol)
         u = sol.u
         if material_model is None:
             sens = op.compliance_sensitivities(u, phys)
@@ -291,6 +293,20 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     if params.cg_recycle_k > 1:
         rhist = recycle_init(params.cg_recycle_k, u)
         push_jit = jax.jit(recycle_push)
+    # Adaptive CG forcing (inexact SIMP) — same schedule as the voxel
+    # driver (see optimize.py): rtol rides in as a device scalar.
+    if params.cg_forcing not in ("fixed", "adaptive"):
+        raise ValueError(f"cg_forcing must be 'fixed' or 'adaptive', "
+                         f"got {params.cg_forcing!r}")
+    adaptive_forcing = params.cg_forcing == "adaptive"
+
+    def _forcing_rtol(change_prev):
+        val = params.cg_rtol_max if change_prev is None else min(
+            params.cg_rtol_max,
+            max(params.cg_rtol, params.cg_forcing_coeff * change_prev))
+        return jnp.asarray(val, dtype=us.dtype)
+
+    rtol_now = _forcing_rtol(None) if adaptive_forcing else None
     energy_history, volume_history = [], []
     change_history, cg_history = [], []
     checkpoint_triggered = [False] * len(params.tolerance_checkpoints)
@@ -318,6 +334,10 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
                 # buffer with the restored warm start.
                 rhist = recycle_init(params.cg_recycle_k, u)
 
+    if adaptive_forcing and change_history:
+        # resumed runs restart the forcing schedule from the restored change
+        rtol_now = _forcing_rtol(change_history[-1])
+
     def _maybe_save_checkpoint(it, design, u):
         if params.checkpoint_interval > 0 and params.checkpoint_path and \
                 it % params.checkpoint_interval == 0:
@@ -339,17 +359,20 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
 
     for it in range(start_iteration, params.max_iterations + 1):
         iteration = it
-        if rhist is None:
-            (new_design, u, phys, energy, volume, change, lam, grayness,
-             max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg,
-             max_abs, fsens) = step_jit(design, u)
-        else:
-            (new_design, u, phys, energy, volume, change, lam, grayness,
-             max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg,
-             max_abs, fsens) = step_jit(design, u, recycle=rhist)
+        step_kw = {}
+        if rhist is not None:
+            step_kw["recycle"] = rhist
+        if adaptive_forcing:
+            step_kw["rtol"] = rtol_now
+        (new_design, u, phys, energy, volume, change, lam, grayness,
+         max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg,
+         max_abs, fsens) = step_jit(design, u, **step_kw)
+        if rhist is not None:
             rhist = push_jit(rhist, u)
 
         energy, volume, change = float(energy), float(volume), float(change)
+        if adaptive_forcing:
+            rtol_now = _forcing_rtol(change)
         vol_frac = volume / total_volume
         energy_history.append(energy)
         volume_history.append(volume)

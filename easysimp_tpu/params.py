@@ -72,6 +72,25 @@ class OptimizationParameters:
                                         # iteration; deflates the low modes
                                         # the design evolution re-excites.
                                         # 0 = off (reference-equivalent)
+    cg_forcing: str = "fixed"           # "fixed" | "adaptive" (inexact SIMP).
+                                        # Adaptive ties the per-iteration CG
+                                        # tolerance to how fast the design is
+                                        # still moving:
+                                        #   rtol_i = clip(coeff * change_{i-1},
+                                        #                 cg_rtol, cg_rtol_max)
+                                        # (first iteration uses cg_rtol_max).
+                                        # The solve only feeds sensitivities
+                                        # into an OC update clamped by the
+                                        # move limit, so early/developing
+                                        # iterations tolerate much looser
+                                        # solves; the floor cg_rtol restores
+                                        # the tight solve as the design
+                                        # converges (change -> tolerance).
+                                        # The rtol rides into the compiled
+                                        # step as a device scalar — no
+                                        # per-iteration recompiles.
+    cg_rtol_max: float = 1e-3           # loosest adaptive tolerance
+    cg_forcing_coeff: float = 0.05      # rtol_i = coeff * change_{i-1}
     preconditioner: str = "auto"        # auto|jacobi|block_jacobi|amg|multigrid|none
     mg_levels: int = 0                  # 0 = auto depth
     mg_smooth_iters: object = (1, 3)    # Chebyshev degree / Jacobi sweeps;

@@ -57,8 +57,9 @@ CONFIGS = {
 }
 
 
-def run(nels, n_iters, name, dtype):
+def run(nels, n_iters, name, dtype, forcing="fixed"):
     import jax
+    import jax.numpy as jnp
 
     import easysimp_tpu as et
     from easysimp_tpu.opt.optimize import build_voxel_step
@@ -80,7 +81,7 @@ def run(nels, n_iters, name, dtype):
         E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
         filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
         preconditioner="multigrid", mg_galerkin=galerkin, mg_cycle=cycle,
-        mg_smooth_iters=smooth, mg_coarsen=coarsen,
+        mg_smooth_iters=smooth, mg_coarsen=coarsen, cg_forcing=forcing,
         use_pallas_matvec=jax.default_backend() == "tpu")
     vs = build_voxel_step(grid, [load], [bc], params)
     solve_part = jax.jit(vs.step_solve)
@@ -91,11 +92,20 @@ def run(nels, n_iters, name, dtype):
         pvecs = jax.jit(vs.power_init)(design, free_mask)
 
     d0 = smooth[0] if isinstance(smooth, tuple) else smooth
+    rtol = jnp.asarray(params.cg_rtol_max, vs.dtype)  # adaptive schedule
     cg_hist, t0 = [], time.time()
     for it in range(n_iters):
+        kw = {"rtol": rtol} if forcing == "adaptive" else {}
         phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
-            design, u, pvecs, f_ext, free_mask)
-        design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
+            design, u, pvecs, f_ext, free_mask, **kw)
+        new_design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
+        if forcing == "adaptive":
+            change = float(jnp.max(jnp.abs(new_design - design)))
+            rtol = jnp.asarray(
+                min(params.cg_rtol_max,
+                    max(params.cg_rtol, params.cg_forcing_coeff * change)),
+                vs.dtype)
+        design = new_design
         cg_hist.append(int(cg_iters))
         if not (float(energy) == float(energy)):
             print(f"  [{name}] NON-FINITE at iter {it + 1}", file=sys.stderr)
@@ -104,7 +114,8 @@ def run(nels, n_iters, name, dtype):
     total_cg = sum(cg_hist)
     fine_work = total_cg * (2 * d0 + 1) + len(cg_hist) * 2
     return {
-        "config": name, "nels": list(nels), "iters": len(cg_hist),
+        "config": name, "forcing": forcing, "nels": list(nels),
+        "iters": len(cg_hist),
         "cg_per_iter": cg_hist, "total_cg": total_cg,
         "fine_matvec_work": fine_work, "wall_s": round(wall, 1),
         "final_energy": float(energy),
@@ -117,6 +128,10 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--config", action="append", default=[],
                     choices=sorted(CONFIGS), help="repeatable")
+    ap.add_argument("--forcing", action="append", default=[],
+                    choices=["fixed", "adaptive"],
+                    help="repeatable; each config runs once per mode "
+                         "(default: fixed only)")
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
     nels = tuple(int(v) for v in args.nels.split(","))
@@ -134,13 +149,16 @@ def main():
 
     results = []
     for name in configs:
-        print(f"--- {name} @ {nels}, {args.iters} iters ---", file=sys.stderr)
-        r = run(nels, args.iters, name, dtype)
-        cg = r["cg_per_iter"]
-        print(f"  cg first/last/max: {cg[0]}/{cg[-1]}/{max(cg)}  "
-              f"total {r['total_cg']}  fine-work {r['fine_matvec_work']}  "
-              f"wall {r['wall_s']}s", file=sys.stderr)
-        results.append(r)
+        for forcing in (args.forcing or ["fixed"]):
+            print(f"--- {name} ({forcing}) @ {nels}, {args.iters} iters ---",
+                  file=sys.stderr)
+            r = run(nels, args.iters, name, dtype, forcing=forcing)
+            cg = r["cg_per_iter"]
+            print(f"  cg first/last/max: {cg[0]}/{cg[-1]}/{max(cg)}  "
+                  f"total {r['total_cg']}  fine-work "
+                  f"{r['fine_matvec_work']}  wall {r['wall_s']}s  "
+                  f"energy {r['final_energy']:.6e}", file=sys.stderr)
+            results.append(r)
     print(json.dumps(results, indent=1))
 
 

@@ -266,6 +266,83 @@ def test_cg_recycle_trajectory_matches():
         sum(res0.cg_iterations_history) + len(res0.cg_iterations_history)
 
 
+def test_adaptive_forcing_tight_setting_degenerates_to_fixed():
+    """cg_forcing='adaptive' with cg_rtol_max == cg_rtol is the fixed
+    schedule (the rtol merely rides in as a device scalar instead of a
+    compile-time constant) — trajectory must agree to solver roundoff.
+    Run on BOTH driver paths: two-program and split (precond | cg)."""
+    grid, bc, load, params = build_cantilever((10, 6, 4), max_iter=6)
+
+    def run(forcing, setup_every=1, **kw):
+        p = et.OptimizationParameters(
+            **{**params.__dict__, "preconditioner": "multigrid",
+               "cg_rtol": 1e-12, "cg_forcing": forcing,
+               "mg_setup_every": setup_every, **kw})
+        return et.simp_optimize(grid, [load], [bc], p)
+
+    for setup_every in (1, 2):   # 2 forces the split-program path on CPU
+        res_f = run("fixed", setup_every)
+        res_a = run("adaptive", setup_every, cg_rtol_max=1e-12)
+        np.testing.assert_allclose(res_a.energy_history, res_f.energy_history,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(res_a.densities),
+                                   np.asarray(res_f.densities),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_adaptive_forcing_cuts_cg_preserves_compliance():
+    """Inexact SIMP: the adaptive schedule must cut total CG work
+    substantially while landing on the same design (the solve only feeds a
+    move-limited OC update; the floor cg_rtol restores tight solves as the
+    design converges)."""
+    grid, bc, load, params = build_cantilever((12, 6, 4), max_iter=20,
+                                              tol=0.0)
+
+    def run(forcing):
+        p = et.OptimizationParameters(
+            **{**params.__dict__, "preconditioner": "multigrid",
+               "cg_rtol": 1e-6, "cg_forcing": forcing})
+        return et.simp_optimize(grid, [load], [bc], p)
+
+    res_f = run("fixed")
+    res_a = run("adaptive")
+    total_f = sum(res_f.cg_iterations_history)
+    total_a = sum(res_a.cg_iterations_history)
+    assert total_a <= 0.85 * total_f, (total_a, total_f)
+    # final analysis re-solves at the tight tolerance in both runs
+    np.testing.assert_allclose(res_a.energy, res_f.energy, rtol=2e-3)
+    np.testing.assert_allclose(res_a.volume_history, res_f.volume_history,
+                               rtol=1e-6)
+
+
+def test_adaptive_forcing_unstructured():
+    """Same forcing contract on the unstructured driver."""
+    from test_unstructured import tet_mesh_from_voxels
+
+    mesh = tet_mesh_from_voxels((6, 3, 2))
+    bc = et.apply_fixed_boundary(
+        mesh, et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0], 1e-6))
+    load = et.PointLoad(
+        et.select_nodes_by_plane(mesh, [6, 0, 0], [1, 0, 0], 1e-6),
+        [0.0, -1.0, 0.0])
+
+    def run(forcing, **kw):
+        p = et.OptimizationParameters(
+            E0=100.0, Emin=1e-6, volume_fraction=0.4, max_iterations=12,
+            tolerance=0.0, filter_radius=1.5, dtype="float64",
+            cg_rtol=1e-8, cg_forcing=forcing, **kw)
+        return et.simp_optimize(mesh, [load], [bc], p)
+
+    res_f = run("fixed")
+    res_tight = run("adaptive", cg_rtol_max=1e-8)
+    np.testing.assert_allclose(res_tight.energy_history,
+                               res_f.energy_history, rtol=1e-9)
+    res_a = run("adaptive")
+    assert sum(res_a.cg_iterations_history) < \
+        sum(res_f.cg_iterations_history)
+    np.testing.assert_allclose(res_a.energy, res_f.energy, rtol=2e-3)
+
+
 def test_step_precond_cg_split_matches_step_solve():
     """The round-3 three-program split (step_precond | step_cg | step_update)
     must reproduce the two-program iteration: same CG iteration counts and
