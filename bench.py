@@ -16,6 +16,8 @@ Env knobs (defaults = the round-3 measured-best single-chip config):
   BENCH_MG_SMOOTH     per-level Chebyshev degrees (default "(1, 2)")
   BENCH_STENCIL_DTYPE Galerkin coefficient storage override (default "")
   BENCH_RECYCLE_K     subspace-recycled CG ring size (default 0 = off)
+  BENCH_FORCING       "fixed" (default) | "adaptive" inexact-SIMP rtol
+                      schedule (params.cg_forcing semantics)
   BENCH_REFRESH_ITERS power-refresh depth per iteration (default 2)
   BENCH_GALERKIN / BENCH_MG_CYCLE / BENCH_SETUP_EVERY   MG structure
   BENCH_LATE_START / BENCH_SKIP_LATE   late-window placement
@@ -357,10 +359,29 @@ def run_measurement():
         rhist = recycle_init(recycle_k, u)
         push_jit = jax.jit(recycle_push)
         log(f"subspace recycling enabled: k={recycle_k}")
+    # Adaptive CG forcing (inexact SIMP): same schedule as the driver
+    # (opt/optimize.py) — rtol_i = clip(coeff * change_{i-1}, cg_rtol,
+    # cg_rtol_max), riding into the compiled step as a device scalar.  The
+    # design change is computed by its OWN tiny reduction program (the
+    # bench's step split never composes it with the Pallas solve).
+    forcing = os.environ.get("BENCH_FORCING", "fixed")
+    adaptive_forcing = forcing == "adaptive"
+    rtol_now = None
+    change_jit = None
+    if adaptive_forcing:
+        change_jit = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))
+        rtol_now = jnp.asarray(params.cg_rtol_max, vs.dtype)
+        log(f"adaptive CG forcing: rtol in [{params.cg_rtol:g}, "
+            f"{params.cg_rtol_max:g}], coeff {params.cg_forcing_coeff:g}")
 
     def one_step(design, u, pvecs):
         nonlocal first_exec, mg_state, steps_since_setup, cg_baseline, \
-            last_cg, rhist
+            last_cg, rhist, rtol_now
+        solve_kw = {}
+        if rhist is not None:
+            solve_kw["recycle"] = rhist
+        if adaptive_forcing:
+            solve_kw["rtol"] = rtol_now
         if use_split3:
             # Stale-M refresh cadence (mirrors the driver's mg_setup_every;
             # CG applies the CURRENT operator either way).  The default
@@ -379,22 +400,14 @@ def run_measurement():
             steps_since_setup += 1
             if first_exec:
                 jax.block_until_ready(pvecs)
-            if rhist is None:
-                u, energy, volume, cg_iters, cg_res = cg_part(
-                    design, phys, mg_state, u, f_ext, free_mask)
-            else:
-                u, energy, volume, cg_iters, cg_res = cg_part(
-                    design, phys, mg_state, u, f_ext, free_mask,
-                    recycle=rhist)
+            u, energy, volume, cg_iters, cg_res = cg_part(
+                design, phys, mg_state, u, f_ext, free_mask, **solve_kw)
             last_cg = int(cg_iters)
             if cg_baseline is None:
                 cg_baseline = last_cg
-        elif rhist is None:
-            phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
-                design, u, pvecs, f_ext, free_mask)
         else:
             phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
-                design, u, pvecs, f_ext, free_mask, recycle=rhist)
+                design, u, pvecs, f_ext, free_mask, **solve_kw)
         if rhist is not None:
             rhist = push_jit(rhist, u)
         if first_exec:
@@ -404,6 +417,12 @@ def run_measurement():
             # first-execution "TPU device error" flake).
             jax.block_until_ready(u)
         new_design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
+        if adaptive_forcing:
+            change = float(change_jit(new_design, design))
+            rtol_now = jnp.asarray(
+                min(params.cg_rtol_max,
+                    max(params.cg_rtol, params.cg_forcing_coeff * change)),
+                vs.dtype)
         first_exec = False
         return new_design, u, pvecs, energy, cg_iters
 
@@ -503,6 +522,9 @@ def run_measurement():
         "late_its": None if late_its is None else round(late_its, 3),
         "late_cg": late_cg, "late_start_iter": late_start,
         "compile_s": compile_s,
+        "config": {"mg_dtype": mg_dtype, "smooth": params.mg_smooth_iters,
+                   "cycle": params.mg_cycle, "recycle_k": recycle_k,
+                   "forcing": forcing},
     }), flush=True)
     if with_phases:
         try:
