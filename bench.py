@@ -361,18 +361,30 @@ def run_measurement():
         log(f"subspace recycling enabled: k={recycle_k}")
     # Adaptive CG forcing (inexact SIMP): same schedule as the driver
     # (opt/optimize.py) — rtol_i = clip(coeff * change_{i-1}, cg_rtol,
-    # cg_rtol_max), riding into the compiled step as a device scalar.  The
-    # design change is computed by its OWN tiny reduction program (the
-    # bench's step split never composes it with the Pallas solve).
+    # cg_rtol_max).  The next iteration's rtol is computed INSIDE the
+    # update program and stays a device scalar end to end: through the
+    # tunnel an extra per-iteration program dispatch + host sync costs
+    # ~100 ms, which at late-trajectory CG counts of ~2 would dominate
+    # the iteration.
     forcing = os.environ.get("BENCH_FORCING", "fixed")
     adaptive_forcing = forcing == "adaptive"
     rtol_now = None
-    change_jit = None
     if adaptive_forcing:
-        change_jit = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))
         rtol_now = jnp.asarray(params.cg_rtol_max, vs.dtype)
+
+        def update_with_rtol(design, phys, u, vsens):
+            new_design, lam, bi, bv, fsens = vs.step_update(
+                design, phys, u, vsens)
+            change = jnp.max(jnp.abs(new_design - design))
+            rtol = jnp.clip(params.cg_forcing_coeff * change,
+                            params.cg_rtol, params.cg_rtol_max
+                            ).astype(vs.dtype)
+            return new_design, lam, bi, bv, fsens, rtol
+
+        update_part = jax.jit(update_with_rtol)
         log(f"adaptive CG forcing: rtol in [{params.cg_rtol:g}, "
-            f"{params.cg_rtol_max:g}], coeff {params.cg_forcing_coeff:g}")
+            f"{params.cg_rtol_max:g}], coeff {params.cg_forcing_coeff:g} "
+            f"(on-device schedule)")
 
     def one_step(design, u, pvecs):
         nonlocal first_exec, mg_state, steps_since_setup, cg_baseline, \
@@ -416,13 +428,12 @@ def run_measurement():
             # from overlapping on the device (suspected trigger of the
             # first-execution "TPU device error" flake).
             jax.block_until_ready(u)
-        new_design, lam, bi, bv, fsens = update_part(design, phys, u, vsens)
         if adaptive_forcing:
-            change = float(change_jit(new_design, design))
-            rtol_now = jnp.asarray(
-                min(params.cg_rtol_max,
-                    max(params.cg_rtol, params.cg_forcing_coeff * change)),
-                vs.dtype)
+            new_design, lam, bi, bv, fsens, rtol_now = update_part(
+                design, phys, u, vsens)
+        else:
+            new_design, lam, bi, bv, fsens = update_part(
+                design, phys, u, vsens)
         first_exec = False
         return new_design, u, pvecs, energy, cg_iters
 

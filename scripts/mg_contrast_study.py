@@ -57,7 +57,7 @@ CONFIGS = {
 }
 
 
-def run(nels, n_iters, name, dtype, forcing="fixed"):
+def run(nels, n_iters, name, dtype, forcing="fixed", cycle_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -82,6 +82,7 @@ def run(nels, n_iters, name, dtype, forcing="fixed"):
         filter_radius=1.5, dtype=dtype, cg_rtol=1e-5, cg_maxiter=500,
         preconditioner="multigrid", mg_galerkin=galerkin, mg_cycle=cycle,
         mg_smooth_iters=smooth, mg_coarsen=coarsen, cg_forcing=forcing,
+        mg_cycle_dtype=cycle_dtype or "",
         use_pallas_matvec=jax.default_backend() == "tpu")
     vs = build_voxel_step(grid, [load], [bc], params)
     solve_part = jax.jit(vs.step_solve)
@@ -132,6 +133,13 @@ def main():
                     choices=["fixed", "adaptive"],
                     help="repeatable; each config runs once per mode "
                          "(default: fixed only)")
+    ap.add_argument("--cycle-dtype", default=None,
+                    help="mg_cycle_dtype override (e.g. bfloat16) — the "
+                         "bench runs the cycle interior in bf16, so A/Bs "
+                         "of cycle structure should too")
+    ap.add_argument("--fp32", action="store_true",
+                    help="run the study in fp32 (the TPU operating dtype) "
+                         "instead of the default fp64 CPU oracle dtype")
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
     nels = tuple(int(v) for v in args.nels.split(","))
@@ -145,14 +153,15 @@ def main():
     else:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-        dtype = "float64"
+        dtype = "float32" if args.fp32 else "float64"
 
     results = []
     for name in configs:
         for forcing in (args.forcing or ["fixed"]):
             print(f"--- {name} ({forcing}) @ {nels}, {args.iters} iters ---",
                   file=sys.stderr)
-            r = run(nels, args.iters, name, dtype, forcing=forcing)
+            r = run(nels, args.iters, name, dtype, forcing=forcing,
+                    cycle_dtype=args.cycle_dtype)
             cg = r["cg_per_iter"]
             print(f"  cg first/last/max: {cg[0]}/{cg[-1]}/{max(cg)}  "
                   f"total {r['total_cg']}  fine-work "

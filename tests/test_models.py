@@ -87,7 +87,7 @@ def test_gripper_trajectory_parity():
     reference."""
     import easysimp_tpu as et
     from easysimp_tpu.models import gripper
-    from reference_impl import simp_optimize_reference
+    from golden import simp_optimize_reference_cached
 
     mesh, loads, bcs, params, accel = gripper.build(
         max_iterations=5, dtype="float64", cg_rtol=1e-12)
@@ -98,8 +98,8 @@ def test_gripper_trajectory_parity():
     fixed_dofs = np.nonzero(mask == 0)[0]
     # sliding symmetry contributes x-component dofs only
     assert np.any(fixed_dofs % 3 == 0)
-    ref = simp_optimize_reference(
-        mesh.node_coords, mesh.connectivity, fixed_dofs, f,
+    ref = simp_optimize_reference_cached(
+        "gripper_complex", mesh.node_coords, mesh.connectivity, fixed_dofs, f,
         E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
         volume_fraction=params.volume_fraction, max_iterations=5,
         tolerance=params.tolerance, filter_radius_ratio=params.filter_radius,
@@ -118,7 +118,7 @@ def test_wheel_trajectory_parity():
     5 SIMP iterations, compliance parity vs the direct-solve reference."""
     import easysimp_tpu as et
     from easysimp_tpu.models import wheel
-    from reference_impl import simp_optimize_reference
+    from golden import simp_optimize_reference_cached
 
     mesh, loads, bcs, params, accel = wheel.build(
         max_iterations=5, dtype="float64", cg_rtol=1e-12)
@@ -127,8 +127,8 @@ def test_wheel_trajectory_parity():
     f = et.build_load_field(mesh, loads).reshape(-1)
     assert np.any(f != 0.0)  # the traction actually integrated
     fixed_dofs = np.nonzero(et.build_free_mask(mesh, bcs) == 0)[0]
-    ref = simp_optimize_reference(
-        mesh.node_coords, mesh.connectivity, fixed_dofs, f,
+    ref = simp_optimize_reference_cached(
+        "wheel", mesh.node_coords, mesh.connectivity, fixed_dofs, f,
         E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
         volume_fraction=params.volume_fraction, max_iterations=5,
         tolerance=params.tolerance, filter_radius_ratio=params.filter_radius,
@@ -147,7 +147,7 @@ def test_beam_reference_resolution_parity(variant):
     iterations with compliance parity vs the scipy direct-solve oracle,
     not just built (round-2 VERDICT item 5)."""
     import easysimp_tpu as et
-    from reference_impl import simp_optimize_reference
+    from golden import simp_optimize_reference_cached
 
     build = getattr(beam_2x1x1, f"build_{variant}")
     grid, loads, bcs, params, accel = build(
@@ -158,8 +158,9 @@ def test_beam_reference_resolution_parity(variant):
     f_flat = grid.dofs_flat(np.asarray(et.build_load_field(grid, loads)))
     mask_flat = grid.dofs_flat(np.asarray(et.build_free_mask(grid, bcs)))
     fixed_dofs = np.nonzero(mask_flat == 0)[0]
-    ref = simp_optimize_reference(
-        grid.node_coords, grid.hex_connectivity, fixed_dofs, f_flat,
+    ref = simp_optimize_reference_cached(
+        f"beam_40x20x20_{variant}", grid.node_coords, grid.hex_connectivity,
+        fixed_dofs, f_flat,
         E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
         volume_fraction=params.volume_fraction, max_iterations=5,
         tolerance=params.tolerance, filter_radius_ratio=params.filter_radius,

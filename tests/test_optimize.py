@@ -34,13 +34,15 @@ def build_cantilever(nels, E0=200.0, vf=0.4, max_iter=10, tol=0.01,
     return grid, bc, load, params
 
 
-def run_reference(grid, bc, load, params):
+def run_reference(grid, bc, load, params, tag=None):
+    """tag != None routes through the committed golden-file oracle cache
+    (tests/golden.py) — used by the slow marks only, where the direct-solve
+    oracle dominates the suite wall time."""
     f = np.asarray(et.build_load_field(grid, [load]), dtype=np.float64)
     f_flat = grid.dofs_flat(f)
     mask = et.build_free_mask(grid, [bc])
     fixed_dofs = np.nonzero(grid.dofs_flat(mask) == 0)[0]
-    return simp_optimize_reference(
-        grid.node_coords, grid.hex_connectivity, fixed_dofs, f_flat,
+    kw = dict(
         E0=params.E0, Emin=params.Emin, nu=params.nu, p=params.p,
         volume_fraction=params.volume_fraction,
         max_iterations=params.max_iterations, tolerance=params.tolerance,
@@ -48,6 +50,14 @@ def run_reference(grid, bc, load, params):
         filter_type=params.filter_type,
         move=params.move_limit, damping=params.damping,
     )
+    if tag is not None:
+        from golden import simp_optimize_reference_cached
+
+        return simp_optimize_reference_cached(
+            tag, grid.node_coords, grid.hex_connectivity, fixed_dofs,
+            f_flat, **kw)
+    return simp_optimize_reference(
+        grid.node_coords, grid.hex_connectivity, fixed_dofs, f_flat, **kw)
 
 
 @pytest.mark.parametrize("filter_type", ["sensitivity", "density"])
@@ -93,7 +103,7 @@ def test_canonical_cantilever_60x20x4():
         move_limit=0.2, damping=0.5, dtype="float64", cg_rtol=1e-12,
     )
     res = et.simp_optimize(grid, [load], [bc], params)
-    ref = run_reference(grid, bc, load, params)
+    ref = run_reference(grid, bc, load, params, tag="canonical_60x20x4")
     np.testing.assert_allclose(res.energy_history, ref["energies"], rtol=1e-6)
     np.testing.assert_allclose(res.densities, ref["final_densities"], atol=5e-5)
     assert np.isclose(res.energy, ref["final_energy"], rtol=1e-6)
