@@ -132,6 +132,13 @@ class HaloVoxelOperator:
         # refresh overlap plane so the output is in consistent layout
         return self.halo_sync(out)
 
+    def apply_masked(self, u_local, scale_local, mask_local):
+        """BC-masked SPD action M K (M u) in slab layout — the halo
+        counterpart of `VoxelOperator.apply` (ops/operator.py), certified
+        equal to the GSPMD path in tests/test_halo.py."""
+        return mask_local * self.apply_K_local(
+            self.halo_sync(mask_local * u_local), scale_local)
+
     # -- host-side helpers --------------------------------------------------
     def shard_spec_nodes(self):
         return P(self.axis, None, None, None)
@@ -177,5 +184,20 @@ class HaloVoxelOperator:
         def mv(u_stacked, scale):
             u_synced = self.halo_sync(u_stacked)
             return self.apply_K_local(u_synced, scale)
+
+        return jax.jit(mv)
+
+    def make_sharded_masked_matvec(self):
+        """Jitted global-layout BC-masked matvec (the CG operator action)."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(self.shard_spec_nodes(), self.shard_spec_cells(),
+                      self.shard_spec_nodes()),
+            out_specs=self.shard_spec_nodes(),
+        )
+        def mv(u_stacked, scale, mask_stacked):
+            return self.apply_masked(u_stacked, scale, mask_stacked)
 
         return jax.jit(mv)
