@@ -1,4 +1,4 @@
-"""Two-level aggregation AMG for the unstructured (imported-mesh) path.
+"""Multilevel aggregation AMG for the unstructured (imported-mesh) path.
 
 Replaces plain (block-)Jacobi CG as the unstructured preconditioner — the
 last place where the reference's CHOLMOD direct solve
@@ -7,25 +7,29 @@ iteration counts at SIMP contrast (E_max/E_min ~ 1e9).
 
 TPU-first split, mirroring the voxel multigrid (ops/multigrid.py):
 
-  * HOST, once per problem: aggregate the node graph (greedy root-node
-    clustering), build the per-node rigid-body-mode prolongator blocks
-    (3 x 6, translations + rotations about the aggregate centroid,
-    BC-masked, SVD-orthonormalized per aggregate), and precompute each
-    element's coarse Galerkin contribution G_e = P_e^T ke_unit P_e.
+  * HOST, once per problem: recursively aggregate the node graph (greedy
+    root-node clustering), build the smoothed-aggregation-style tentative
+    prolongators from the rigid-body near-nullspace (level 0: per-node
+    (3, 6) blocks, BC-masked, SVD-orthonormalized per aggregate; deeper
+    levels: per-aggregate SVD of the coarse near-nullspace carried down
+    the hierarchy, Vanek/Mandel/Brezina-style), and precompute the
+    block-pair index structure of every Galerkin level.
   * DEVICE, once per SIMP iteration (densities change): assemble the
-    coarse operator A_c = sum_e E(rho_e) G_e with one scatter-add —
-    exact Galerkin because P is fixed and A is linear in the per-element
-    moduli — then Cholesky-factor it (dense; coarse dim ~ 6 * n_nodes /
-    avg_degree, a few thousand) and power-estimate the damped-Jacobi
-    smoother weight.
-  * DEVICE, per CG iteration: symmetric two-level V-cycle
-    pre-smooth -> coarse correct -> post-smooth (SPD by construction,
-    safe inside CG).
+    level-1 block-sparse operator A_1[pair] = sum_e E(rho_e) P_a^T ke_e
+    P_b with batched einsums + one scatter-add (chunked over elements so
+    the transient stays bounded on multi-million-element meshes), Galerkin
+    the deeper levels through the precomputed pair maps, invert the 6x6
+    diagonal blocks per level, power-estimate each level's damped-Jacobi
+    weight, and Cholesky-factor the (dense, small) coarsest level.
+  * DEVICE, per CG iteration: symmetric multilevel V-cycle with damped
+    block-Jacobi smoothing (SPD by construction, safe inside CG).
 
-Scaling note: the coarse level is solved densely, which caps this design
-near ~1e5 fine nodes; recursing the aggregation (true multilevel) is the
-extension point if far larger imported meshes show up.  The reference's
-workloads (gripper 20542 nodes, wheel 7974) sit comfortably inside.
+Unlike the earlier two-level design, the coarse hierarchy recurses until
+the coarsest level fits a dense factorization (`max_coarse_dofs`), so
+imported meshes are no longer capped near ~1e5 fine nodes; and the
+per-element coarse Galerkin blocks are computed on device per iteration
+instead of being precomputed ((E, nn, nn, 6, 6) host tensors grew to
+hundreds of MB on the reference's gripper alone).
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
 
-__all__ = ["greedy_aggregate", "rigid_body_prolongator", "TwoLevelAMG"]
+__all__ = ["greedy_aggregate", "rigid_body_prolongator", "MultilevelAMG"]
 
 
 def _node_adjacency(connectivity, n_nodes):
@@ -56,20 +60,11 @@ def _node_adjacency(connectivity, n_nodes):
     return A
 
 
-def greedy_aggregate(connectivity, n_nodes):
-    """Root-node aggregation of the mesh node graph.
-
-    Pass 1 seeds aggregates at nodes whose whole neighborhood is free and
-    absorbs the neighborhood; pass 2 attaches remaining nodes to the
-    aggregate most common among their neighbors; pass 3 makes singleton
-    aggregates of anything isolated.  Returns (agg_index (n_nodes,) int32,
-    n_aggregates).
-    """
-    A = _node_adjacency(connectivity, n_nodes)
-    indptr, indices = A.indptr, A.indices
-    agg = np.full(n_nodes, -1, dtype=np.int64)
+def _greedy_csr(indptr, indices, n):
+    """Greedy root-node aggregation on a CSR graph (see greedy_aggregate)."""
+    agg = np.full(n, -1, dtype=np.int64)
     n_agg = 0
-    for v in range(n_nodes):
+    for v in range(n):
         if agg[v] != -1:
             continue
         nbrs = indices[indptr[v]:indptr[v + 1]]
@@ -77,7 +72,7 @@ def greedy_aggregate(connectivity, n_nodes):
             agg[v] = n_agg
             agg[nbrs] = n_agg
             n_agg += 1
-    for v in range(n_nodes):
+    for v in range(n):
         if agg[v] != -1:
             continue
         nbrs = indices[indptr[v]:indptr[v + 1]]
@@ -91,7 +86,21 @@ def greedy_aggregate(connectivity, n_nodes):
     return agg.astype(np.int32), n_agg
 
 
-def rigid_body_prolongator(coords, agg, n_agg, free_mask):
+def greedy_aggregate(connectivity, n_nodes):
+    """Root-node aggregation of the mesh node graph.
+
+    Pass 1 seeds aggregates at nodes whose whole neighborhood is free and
+    absorbs the neighborhood; pass 2 attaches remaining nodes to the
+    aggregate most common among their neighbors; pass 3 makes singleton
+    aggregates of anything isolated.  Returns (agg_index (n_nodes,) int32,
+    n_aggregates).
+    """
+    A = _node_adjacency(connectivity, n_nodes)
+    return _greedy_csr(A.indptr, A.indices, n_nodes)
+
+
+def rigid_body_prolongator(coords, agg, n_agg, free_mask,
+                           return_coarse=False):
     """Per-node (3, 6) prolongator blocks spanning the BC-masked rigid body
     modes of each aggregate.
 
@@ -101,11 +110,16 @@ def rigid_body_prolongator(coords, agg, n_agg, free_mask):
     coarse basis instead of wasting columns.  Rank-deficient aggregates
     (few free dofs) get zero columns; the coarse assembly regularizes the
     matching diagonal entries.
+
+    return_coarse=True additionally returns the coarse near-nullspace
+    B1 (n_agg, 6, 6) with B0|agg = Q @ B1[agg] (the S V^T factor of each
+    per-aggregate SVD) — the seed for recursive aggregation.
     """
     coords = np.asarray(coords, dtype=np.float64)
     n_nodes = coords.shape[0]
     mask = np.asarray(free_mask, dtype=np.float64).reshape(n_nodes, 3)
     P = np.zeros((n_nodes, 3, 6))
+    Bc = np.zeros((n_agg, 6, 6))
     order = np.argsort(agg, kind="stable")
     bounds = np.searchsorted(agg[order], np.arange(n_agg + 1))
     for a in range(n_agg):
@@ -121,86 +135,248 @@ def rigid_body_prolongator(coords, agg, n_agg, free_mask):
         B[:, 1, 3], B[:, 1, 5] = -x[:, 2], x[:, 0]
         B[:, 2, 3], B[:, 2, 4] = x[:, 1], -x[:, 0]
         B *= mask[nodes][:, :, None]
-        U, s, _ = np.linalg.svd(B.reshape(3 * m, 6), full_matrices=False)
-        keep = s > max(1e-10, 1e-8 * (s[0] if s.size else 0.0))
-        Q = U[:, : keep.sum()]
-        P[nodes, :, : Q.shape[1]] = Q.reshape(m, 3, -1)
+        U, s, Vt = np.linalg.svd(B.reshape(3 * m, 6), full_matrices=False)
+        r = int((s > max(1e-10, 1e-8 * (s[0] if s.size else 0.0))).sum())
+        P[nodes, :, :r] = U[:, :r].reshape(m, 3, r)
+        Bc[a, :r, :] = s[:r, None] * Vt[:r]
     # SVD leaves O(eps) residue in masked rows — re-mask so constrained
     # dofs are EXACTLY outside the coarse space.
     P *= mask[:, :, None]
+    if return_coarse:
+        return P, Bc
     return P
 
 
-class TwoLevelAMG:
-    """Two-level RBM-aggregation preconditioner for UnstructuredOperator.
+def _tentative_from_basis(B, agg, n_agg):
+    """Tentative prolongator for a coarse level from its near-nullspace.
+
+    B: (n, k, 6) per-node basis rows (k dofs per node).  Per aggregate the
+    stacked member rows (m*k, 6) are SVD-orthonormalized: P holds the Q
+    factor as per-node (k, 6) blocks (zero columns beyond the rank), and
+    the next-level basis is the S V^T factor, so B|agg = Q @ B_next[agg].
+    """
+    B = np.asarray(B, dtype=np.float64)
+    n, k, _ = B.shape
+    P = np.zeros((n, k, 6))
+    Bc = np.zeros((n_agg, 6, 6))
+    order = np.argsort(agg, kind="stable")
+    bounds = np.searchsorted(agg[order], np.arange(n_agg + 1))
+    for a in range(n_agg):
+        nodes = order[bounds[a]:bounds[a + 1]]
+        if nodes.size == 0:
+            continue
+        m = nodes.size
+        M = B[nodes].reshape(m * k, 6)
+        U, s, Vt = np.linalg.svd(M, full_matrices=False)
+        r = int((s > max(1e-10, 1e-8 * (s[0] if s.size else 0.0))).sum())
+        P[nodes, :, :r] = U[:, :r].reshape(m, k, r)
+        Bc[a, :r, :] = s[:r, None] * Vt[:r]
+    return P, Bc
+
+
+def _unique_pairs(rows, cols, n):
+    """Sorted unique (row, col) pair list + inverse index for scatter-adds."""
+    key = rows.astype(np.int64) * n + cols.astype(np.int64)
+    upairs, inv = np.unique(key, return_inverse=True)
+    return ((upairs // n).astype(np.int32), (upairs % n).astype(np.int32),
+            inv.astype(np.int32))
+
+
+class MultilevelAMG:
+    """Recursive RBM-aggregation preconditioner for UnstructuredOperator.
 
     Host-side constants are built in __init__; `setup(scale, free_mask,
-    Binv)` runs once per SIMP iteration (returns the coarse Cholesky factor
-    and smoother weight), `apply(...)` is the per-CG-iteration V-cycle.
+    Binv, A)` runs once per SIMP iteration (returns the per-level operator
+    blocks, smoother data, and the coarsest Cholesky factor), `apply(...)`
+    is the per-CG-iteration V-cycle.
+
+    max_coarse_dofs bounds the dense coarsest factorization; the hierarchy
+    recurses until the coarse dimension fits (or coarsening stalls).
     """
 
-    def __init__(self, op, mesh, free_mask, power_iters=8):
+    # transient budget for the chunked level-1 assembly (bytes)
+    _CHUNK_BYTES = 96 * 1024 * 1024
+
+    def __init__(self, op, mesh, free_mask, power_iters=8,
+                 max_coarse_dofs=6000, max_levels=10):
         self.op = op
         self.power_iters = int(power_iters)
         conn = np.asarray(mesh.connectivity)
         n_nodes = mesh.n_nodes
-        agg, n_agg = greedy_aggregate(conn, n_nodes)
-        Pn = rigid_body_prolongator(mesh.node_coords, agg, n_agg, free_mask)
-        self.n_agg = n_agg
-        self.nc = 6 * n_agg
+        E, nn = conn.shape
+        self.nn = nn
 
-        # Per-element coarse Galerkin blocks G_e = P_e^T ke_unit P_e with
-        # P_e the block-diagonal stack of the element nodes' (3, 6) blocks.
-        # Duplicate aggregates among an element's nodes need no dedup — the
-        # scatter-add accumulates them correctly.
-        ke = np.asarray(op.ke, dtype=np.float64)          # (E, 3nn, 3nn)
-        nn = conn.shape[1]
-        Pe = Pn[conn]                                     # (E, nn, 3, 6)
-        keb = ke.reshape(-1, nn, 3, nn, 3)
-        # G[e, a, i, b, j] = sum_{c,d} Pe[e,a,c,i] ke[e,a,c,b,d] Pe[e,b,d,j]
-        G = np.einsum("eaci,eacbd,ebdj->eaibj", Pe, keb, Pe, optimize=True)
-        self.Ge = jnp.asarray(G.transpose(0, 1, 3, 2, 4),  # (E,nn,nn,6,6)
-                              dtype=op.dtype)
-        self.elem_agg = jnp.asarray(agg[conn].astype(np.int32))  # (E, nn)
+        # ---- level 0 -> 1: RBM tentative prolongator --------------------
+        agg0, n1 = greedy_aggregate(conn, n_nodes)
+        Pn, B = rigid_body_prolongator(mesh.node_coords, agg0, n1,
+                                       free_mask, return_coarse=True)
         self.Pn = jnp.asarray(Pn, dtype=op.dtype)         # (n, 3, 6)
-        self.agg_idx = jnp.asarray(agg)                   # (n,)
+        self.agg_idx = jnp.asarray(agg0)                  # (n,)
         self.n_nodes = n_nodes
+        self.node_conn = jnp.asarray(conn.astype(np.int32))
 
-    # ----- transfer operators (device) ------------------------------------
+        # level-1 block-pair structure from the element connectivity
+        ea = agg0[conn]                                   # (E, nn)
+        rows = np.broadcast_to(ea[:, :, None], (E, nn, nn)).ravel()
+        cols = np.broadcast_to(ea[:, None, :], (E, nn, nn)).ravel()
+        p_rows, p_cols, inv = _unique_pairs(rows, cols, n1)
+        self.elem_pair_idx = jnp.asarray(inv.reshape(E, nn, nn))
+
+        # chunk slices so the (c, nn, nn, 6, 6) assembly transient stays
+        # bounded on multi-million-element meshes
+        itemsize = jnp.dtype(op.dtype).itemsize
+        per_elem = (nn * 3 * nn * 6 + nn * nn * 36) * itemsize
+        chunk = max(1, self._CHUNK_BYTES // per_elem)
+        self.chunk_slices = [(s, min(s + chunk, E))
+                             for s in range(0, E, chunk)]
+
+        # ---- deeper levels: recurse on the aggregate graph --------------
+        self.sizes = [n1]                  # nodes per coarse level
+        self.pair_rows = [jnp.asarray(p_rows)]
+        self.pair_cols = [jnp.asarray(p_cols)]
+        self.P_coarse = []                 # per-level (n_l, 6, 6) blocks
+        self.agg_coarse = []               # per-level aggregation maps
+        self.pair_maps = []                # pair index l -> l+1
+        self.diag_idx = []                 # positions of (i, i) pairs
+        np_rows, np_cols = p_rows, p_cols
+        while 6 * self.sizes[-1] > max_coarse_dofs and \
+                len(self.sizes) < max_levels:
+            n_l = self.sizes[-1]
+            off = np_rows != np_cols
+            A = sp.coo_matrix(
+                (np.ones(off.sum(), dtype=np.int8),
+                 (np_rows[off], np_cols[off])), shape=(n_l, n_l)).tocsr()
+            A.sum_duplicates()
+            agg_l, n_next = _greedy_csr(A.indptr, A.indices, n_l)
+            if n_next >= n_l:              # coarsening stalled
+                break
+            P_l, B = _tentative_from_basis(B, agg_l, n_next)
+            rows_next = agg_l[np_rows]
+            cols_next = agg_l[np_cols]
+            q_rows, q_cols, pair_map = _unique_pairs(rows_next, cols_next,
+                                                     n_next)
+            self.P_coarse.append(jnp.asarray(P_l, dtype=op.dtype))
+            self.agg_coarse.append(jnp.asarray(agg_l))
+            self.pair_maps.append(jnp.asarray(pair_map))
+            self.sizes.append(n_next)
+            self.pair_rows.append(jnp.asarray(q_rows))
+            self.pair_cols.append(jnp.asarray(q_cols))
+            np_rows, np_cols = q_rows, q_cols
+        for l, (r, c) in enumerate(zip(self.pair_rows, self.pair_cols)):
+            r, c = np.asarray(r), np.asarray(c)
+            d = np.nonzero(r == c)[0]
+            # nodes without a self-pair (isolated in the graph) map to
+            # slot 0 and get identity blocks in _block_inv
+            pos = np.zeros(self.sizes[l], dtype=np.int32)
+            has = np.zeros(self.sizes[l], dtype=bool)
+            pos[r[d]] = d
+            has[r[d]] = True
+            self.diag_idx.append((jnp.asarray(pos), jnp.asarray(has)))
+        self.n_coarse_levels = len(self.sizes)
+        self.nc = 6 * self.sizes[-1]       # coarsest (dense) dimension
+
+    # ----- level-0 transfer operators (device) -----------------------------
     def restrict(self, r):
-        """P^T r: (3n,) -> (nc,)."""
+        """P^T r: (3n,) -> level-1 (n1 * 6,)."""
         rn = r.reshape(self.n_nodes, 3)
         contrib = jnp.einsum("nik,ni->nk", self.Pn, rn)   # (n, 6)
-        rc = jnp.zeros((self.n_agg, 6), dtype=r.dtype)
+        rc = jnp.zeros((self.sizes[0], 6), dtype=r.dtype)
         return rc.at[self.agg_idx].add(contrib).reshape(-1)
 
     def prolong(self, zc):
-        """P zc: (nc,) -> (3n,)."""
-        za = zc.reshape(self.n_agg, 6)[self.agg_idx]      # (n, 6)
+        """P zc: level-1 (n1 * 6,) -> (3n,)."""
+        za = zc.reshape(self.sizes[0], 6)[self.agg_idx]   # (n, 6)
         return jnp.einsum("nik,nk->ni", self.Pn, za).reshape(-1)
 
     # ----- per-SIMP-iteration setup (device, jit-safe) ---------------------
-    def coarse_matrix(self, scale):
-        """A_c = sum_e E_e G_e, assembled with one scatter-add; zero
-        (rank-deficient) coarse diagonal entries are regularized to 1."""
-        E = scale.astype(self.Ge.dtype)
-        vals = E[:, None, None, None, None] * self.Ge     # (E,nn,nn,6,6)
-        ix = self.elem_agg
-        Ac = jnp.zeros((self.n_agg, 6, self.n_agg, 6), dtype=self.Ge.dtype)
-        Ac = Ac.at[ix[:, :, None], :, ix[:, None, :], :].add(vals)
+    def _assemble_level1(self, scale):
+        """A_1 block-sparse: (n_pairs1, 6, 6) = sum_e E_e P_a^T ke_e P_b,
+        chunked over elements (static slices, unrolled in the program)."""
+        ke = self.op.ke
+        nn = self.nn
+        acc = jnp.zeros((self.pair_rows[0].shape[0], 6, 6),
+                        dtype=self.Pn.dtype)
+        for s, e in self.chunk_slices:
+            c = e - s
+            pe = self.Pn[self.node_conn[s:e]]             # (c, nn, 3, 6)
+            w = scale[s:e].astype(self.Pn.dtype)
+            # weight FIRST: ke and Pn are trace-time constants, so a
+            # scale-independent half-transform would get constant-folded
+            # by XLA into a Ge-sized tensor at every compile
+            keb = (ke[s:e] * w[:, None, None]).reshape(c, nn, 3, nn, 3)
+            half = jnp.einsum("eacbd,ebdj->eacbj", keb, pe)
+            g = jnp.einsum("eaci,eacbj->eabij", pe, half)
+            acc = acc.at[self.elem_pair_idx[s:e].reshape(-1)].add(
+                g.reshape(-1, 6, 6))
+        return acc
+
+    def _galerkin_next(self, l, blocks):
+        """A_{l+1} blocks from A_l blocks through the tentative P_l."""
+        P = self.P_coarse[l]
+        rows, cols = self.pair_rows[l], self.pair_cols[l]
+        half = jnp.einsum("pkl,plj->pkj", blocks, P[cols])
+        g = jnp.einsum("pki,pkj->pij", P[rows], half)
+        out = jnp.zeros((self.pair_rows[l + 1].shape[0], 6, 6),
+                        dtype=blocks.dtype)
+        return out.at[self.pair_maps[l]].add(g)
+
+    def _matvec_level(self, l, blocks, v):
+        """Block-sparse A_l v; v (n_l, 6)."""
+        contrib = jnp.einsum("pij,pj->pi", blocks,
+                             v[self.pair_cols[l]])
+        return jnp.zeros_like(v).at[self.pair_rows[l]].add(contrib)
+
+    def _block_inv(self, l, blocks):
+        """Inverse 6x6 diagonal blocks; zero (rank-deficient padded) dofs
+        and isolated nodes get identity entries so the smoother leaves
+        them untouched."""
+        pos, has = self.diag_idx[l]
+        D = blocks[pos] * has[:, None, None].astype(blocks.dtype)
+        d = jnp.diagonal(D, axis1=1, axis2=2)
+        fix = (d <= 1e-30).astype(D.dtype)
+        D = D + fix[:, :, None] * jnp.eye(6, dtype=D.dtype)[None]
+        return jnp.linalg.inv(D)
+
+    def _level_omega(self, l, blocks, Binv):
+        """Damped-Jacobi weight 1 / (1.1 lambda_max(Binv A_l))."""
+        v = jnp.ones((self.sizes[l], 6), dtype=blocks.dtype)
+        v = v / jnp.linalg.norm(v)
+
+        def body(_, v):
+            w = jnp.einsum("nij,nj->ni", Binv,
+                           self._matvec_level(l, blocks, v))
+            return w / jnp.linalg.norm(w)
+
+        v = jax.lax.fori_loop(0, self.power_iters, body, v)
+        w = jnp.einsum("nij,nj->ni", Binv, self._matvec_level(l, blocks, v))
+        lam = jnp.vdot(v, w) / jnp.vdot(v, v)
+        return 1.0 / (1.1 * lam)
+
+    def _coarsest_factor(self, blocks):
+        """Dense coarsest assembly + regularized Cholesky."""
+        nL = self.sizes[-1]
+        rows, cols = self.pair_rows[-1], self.pair_cols[-1]
+        Ac = jnp.zeros((nL, 6, nL, 6), dtype=blocks.dtype)
+        Ac = Ac.at[rows, :, cols, :].add(blocks)
         Ac = Ac.reshape(self.nc, self.nc)
         d = jnp.diagonal(Ac)
         fix = (d <= 1e-30).astype(Ac.dtype)
-        return Ac + jnp.diag(fix)
+        return jax.scipy.linalg.cholesky(Ac + jnp.diag(fix), lower=True)
 
     def setup(self, scale, free_mask, Binv, A):
-        """Once per SIMP iteration: coarse Cholesky factor + smoother weight.
-
-        omega = 1 / lambda_max(Binv A) from a few power iterations (the
-        damped block-Jacobi smoother must underdamp the high end to be a
-        convergent smoother / keep the V-cycle SPD).
-        """
-        L = jax.scipy.linalg.cholesky(self.coarse_matrix(scale), lower=True)
+        """Once per SIMP iteration.  Returns the opaque state pytree for
+        `apply`: per-level operator blocks + block-Jacobi inverses +
+        smoother weights, the coarsest Cholesky factor, and the fine-level
+        smoother weight omega0 = 1 / (1.1 lambda_max(Binv A))."""
+        blocks = [self._assemble_level1(scale)]
+        for l in range(self.n_coarse_levels - 1):
+            blocks.append(self._galerkin_next(l, blocks[-1]))
+        Binvs, omegas = [], []
+        for l in range(self.n_coarse_levels - 1):
+            Bi = self._block_inv(l, blocks[l])
+            Binvs.append(Bi)
+            omegas.append(self._level_omega(l, blocks[l], Bi))
+        L = self._coarsest_factor(blocks[-1])
 
         def body(k, v):
             w = self.op.apply_block_jacobi(Binv, A(v))
@@ -211,16 +387,37 @@ class TwoLevelAMG:
         v = jax.lax.fori_loop(0, self.power_iters, body, v0)
         w = self.op.apply_block_jacobi(Binv, A(v))
         lam_max = jnp.vdot(v, w) / jnp.vdot(v, v)
-        omega = 1.0 / (1.1 * lam_max)
-        return L, omega
+        omega0 = 1.0 / (1.1 * lam_max)
+        return {"blocks": tuple(blocks[:-1]), "Binvs": tuple(Binvs),
+                "omegas": tuple(omegas), "L": L, "omega0": omega0}
 
     # ----- per-CG-iteration V-cycle (device) -------------------------------
-    def apply(self, r, A, Binv, L, omega, free_mask):
-        """Symmetric two-level cycle: damped-block-Jacobi pre-smooth,
-        coarse RBM correction, matching post-smooth."""
-        z = omega * self.op.apply_block_jacobi(Binv, r)
+    def _cycle(self, l, state, r):
+        """Symmetric V-cycle on coarse level l; r (n_l, 6)."""
+        if l == self.n_coarse_levels - 1:
+            zc = jax.scipy.linalg.cho_solve((state["L"], True), r.reshape(-1))
+            return zc.reshape(r.shape)
+        blocks = state["blocks"][l]
+        Binv = state["Binvs"][l]
+        omega = state["omegas"][l]
+        z = omega * jnp.einsum("nij,nj->ni", Binv, r)
+        res = r - self._matvec_level(l, blocks, z)
+        P = self.P_coarse[l]
+        rc = jnp.zeros((self.sizes[l + 1], 6), dtype=r.dtype)
+        rc = rc.at[self.agg_coarse[l]].add(
+            jnp.einsum("nki,nk->ni", P, res))
+        zc = self._cycle(l + 1, state, rc)
+        z = z + jnp.einsum("nki,ni->nk", P, zc[self.agg_coarse[l]])
+        res = r - self._matvec_level(l, blocks, z)
+        return z + omega * jnp.einsum("nij,nj->ni", Binv, res)
+
+    def apply(self, r, A, Binv, state, free_mask):
+        """Symmetric multilevel cycle: damped-block-Jacobi pre-smooth,
+        recursive coarse correction, matching post-smooth."""
+        omega0 = state["omega0"]
+        z = omega0 * self.op.apply_block_jacobi(Binv, r)
         rc = self.restrict((r - A(z)) * free_mask)
-        zc = jax.scipy.linalg.cho_solve((L, True), rc)
-        z = z + self.prolong(zc) * free_mask
-        z = z + omega * self.op.apply_block_jacobi(Binv, r - A(z))
+        zc = self._cycle(0, state, rc.reshape(self.sizes[0], 6))
+        z = z + self.prolong(zc.reshape(-1)) * free_mask
+        z = z + omega0 * self.op.apply_block_jacobi(Binv, r - A(z))
         return z

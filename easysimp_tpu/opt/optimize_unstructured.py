@@ -156,8 +156,8 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         out = jnp.zeros(mesh.n_dofs, dtype=dtype)
         return out.at[dofmap].add(fe.reshape(fe.shape[0], -1))
 
-    # "auto" resolves to the two-level RBM-aggregation AMG (ops/amg.py) —
-    # the multilevel answer to the reference's CHOLMOD at SIMP contrast;
+    # "auto" resolves to the multilevel RBM-aggregation AMG (ops/amg.py) —
+    # the multigrid answer to the reference's CHOLMOD at SIMP contrast;
     # "block_jacobi" keeps the 3x3 nodal blocks, "jacobi" the scalar
     # diagonal.
     choice = params.preconditioner
@@ -165,17 +165,20 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
     use_block_jacobi = use_amg or choice == "block_jacobi"
     amg = None
     if use_amg:
-        from ..ops.amg import TwoLevelAMG
+        from ..ops.amg import MultilevelAMG
 
         free_mask_np = np.asarray(free_mask)
-        amg = TwoLevelAMG(op, mesh, free_mask_np)
+        amg = MultilevelAMG(op, mesh, free_mask_np,
+                            max_coarse_dofs=params.amg_max_coarse_dofs)
         if device_mesh is not None:
             from ..parallel.sharding import (element_sharding,
                                              replicated_sharding)
 
-            amg.Ge = jax.device_put(amg.Ge, element_sharding(device_mesh))
-            amg.elem_agg = jax.device_put(amg.elem_agg,
-                                          element_sharding(device_mesh))
+            # element-indexed assembly inputs ride element-sharded like
+            # op.ke; the (small) aggregate-space arrays stay replicated
+            es = element_sharding(device_mesh)
+            amg.node_conn = jax.device_put(amg.node_conn, es)
+            amg.elem_pair_idx = jax.device_put(amg.elem_pair_idx, es)
             rep = replicated_sharding(device_mesh)
             amg.Pn = jax.device_put(amg.Pn, rep)
             amg.agg_idx = jax.device_put(amg.agg_idx, rep)
@@ -192,8 +195,8 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
             A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
         if use_amg:
             Binv = op.block_diagonal_inverse(scale, free_mask)
-            L, omega = amg.setup(scale, free_mask, Binv, A)
-            M = lambda r: amg.apply(r, A, Binv, L, omega, free_mask)
+            amg_state = amg.setup(scale, free_mask, Binv, A)
+            M = lambda r: amg.apply(r, A, Binv, amg_state, free_mask)
         elif use_block_jacobi:
             Binv = op.block_diagonal_inverse(scale, free_mask)
             M = lambda r: op.apply_block_jacobi(Binv, r)

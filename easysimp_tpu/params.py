@@ -92,6 +92,10 @@ class OptimizationParameters:
     cg_rtol_max: float = 1e-3           # loosest adaptive tolerance
     cg_forcing_coeff: float = 0.05      # rtol_i = coeff * change_{i-1}
     preconditioner: str = "auto"        # auto|jacobi|block_jacobi|amg|multigrid|none
+    amg_max_coarse_dofs: int = 6000     # unstructured AMG: recurse the
+                                        # aggregation until the coarsest
+                                        # (dense-factorized) level fits
+                                        # this many dofs
     mg_levels: int = 0                  # 0 = auto depth
     mg_smooth_iters: object = (1, 3)    # Chebyshev degree / Jacobi sweeps;
                                         # int, or a per-level sequence like
