@@ -386,9 +386,21 @@ def run_measurement():
             f"{params.cg_rtol_max:g}], coeff {params.cg_forcing_coeff:g} "
             f"(on-device schedule)")
 
+    pending_cg = None
+
     def one_step(design, u, pvecs):
         nonlocal first_exec, mg_state, steps_since_setup, cg_baseline, \
-            last_cg, rhist, rtol_now
+            last_cg, rhist, rtol_now, pending_cg
+        if pending_cg is not None:
+            # Deferred read of the PREVIOUS iteration's CG count: by now
+            # that iteration was block_until_ready'd, so this int() costs
+            # nothing — reading it right after cg_part would stall the
+            # update-program dispatch on the full CG solve (the only
+            # mid-iteration host round-trip in the loop; VERDICT r3 item 9).
+            last_cg = int(pending_cg)
+            pending_cg = None
+            if cg_baseline is None:
+                cg_baseline = last_cg
         solve_kw = {}
         if rhist is not None:
             solve_kw["recycle"] = rhist
@@ -399,8 +411,11 @@ def run_measurement():
             # CG applies the CURRENT operator either way).  The default
             # filter here is "sensitivity", so phys == design between
             # refreshes.
+            # additive slack matters at adaptive-forcing CG counts of ~2,
+            # where 1.5x alone would refresh on a single extra iteration
             degraded = (last_cg is not None and cg_baseline
-                        and last_cg > 1.5 * cg_baseline)
+                        and last_cg > max(1.5 * cg_baseline,
+                                          cg_baseline + 3))
             if mg_state is None or steps_since_setup >= setup_every \
                     or degraded:
                 phys, mg_state, pvecs = pre_part(design, pvecs, free_mask)
@@ -414,9 +429,7 @@ def run_measurement():
                 jax.block_until_ready(pvecs)
             u, energy, volume, cg_iters, cg_res = cg_part(
                 design, phys, mg_state, u, f_ext, free_mask, **solve_kw)
-            last_cg = int(cg_iters)
-            if cg_baseline is None:
-                cg_baseline = last_cg
+            pending_cg = cg_iters
         else:
             phys, u, energy, volume, cg_iters, cg_res, pvecs = solve_part(
                 design, u, pvecs, f_ext, free_mask, **solve_kw)

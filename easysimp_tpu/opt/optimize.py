@@ -720,8 +720,11 @@ def simp_optimize(grid, loads, boundary_conditions,
             # post-refresh baseline, so the cadence only skips work while
             # the design (hence K) is actually quasi-static.
             stale_steps = it - last_setup_it if mg_state is not None else 0
+            # additive slack matters at adaptive-forcing CG counts of ~2,
+            # where 1.5x alone would refresh on a single extra iteration
             degraded = (cg_since_refresh is not None and cg_baseline
-                        and cg_since_refresh > 1.5 * cg_baseline)
+                        and cg_since_refresh > max(1.5 * cg_baseline,
+                                                   cg_baseline + 3))
             if mg_state is None or stale_steps >= params.mg_setup_every \
                     or degraded:
                 phys, mg_state, pvecs = precond_jit(design, pvecs,
@@ -740,9 +743,11 @@ def simp_optimize(grid, loads, boundary_conditions,
             (u_new, energy, volume, cg_iters, cg_res) = cg_jit(
                 design, phys, mg_state, u, f_ext_arg, free_mask_arg,
                 **solve_kw)
-            cg_since_refresh = int(cg_iters)
-            if cg_baseline is None:
-                cg_baseline = cg_since_refresh
+            # cg_since_refresh / cg_baseline for the stale-M guard are read
+            # at the END of the iteration (with the mandatory logging syncs)
+            # instead of here: an int(cg_iters) at this point would stall
+            # the update-program dispatch on the full CG solve — the only
+            # avoidable mid-iteration host round-trip (VERDICT r3 item 9).
         else:
             solve_kw = {}
             if rhist is not None:
@@ -781,6 +786,10 @@ def simp_optimize(grid, loads, boundary_conditions,
         volume_history.append(volume)
         change_history.append(change)
         cg_history.append(int(cg_iters))
+        if use_split3:
+            cg_since_refresh = cg_history[-1]
+            if cg_baseline is None:
+                cg_baseline = cg_since_refresh
 
         # Sensitivity health warnings (check_sensitivity_health semantics,
         # OptimalityCriteria.jl:19-40) — warn once, not every iteration.
