@@ -10,14 +10,14 @@ Runs the measurement in a CHILD process (first with the fused Pallas matvec,
 then — if the child dies, e.g. on a TPU kernel fault, which wedges the device
 for the whole process — retried without it in a fresh process).
 
-Env knobs (defaults = the round-3 measured-best single-chip config):
+Env knobs (defaults = the round-4 measured-best single-chip config):
   BENCH_NELS / BENCH_DTYPE / BENCH_ITERS   problem size / dtype / window
   BENCH_MG_DTYPE      V-cycle interior dtype (default bfloat16)
   BENCH_MG_SMOOTH     per-level Chebyshev degrees (default "(1, 2)")
   BENCH_STENCIL_DTYPE Galerkin coefficient storage override (default "")
-  BENCH_RECYCLE_K     subspace-recycled CG ring size (default 0 = off)
-  BENCH_FORCING       "fixed" (default) | "adaptive" inexact-SIMP rtol
-                      schedule (params.cg_forcing semantics)
+  BENCH_RECYCLE_K     subspace-recycled CG ring size (default 8; 0 = off)
+  BENCH_FORCING       "adaptive" (default) inexact-SIMP rtol schedule
+                      (params.cg_forcing semantics) | "fixed"
   BENCH_REFRESH_ITERS power-refresh depth per iteration (default 2)
   BENCH_GALERKIN / BENCH_MG_CYCLE / BENCH_SETUP_EVERY   MG structure
   BENCH_LATE_START / BENCH_SKIP_LATE   late-window placement
@@ -351,7 +351,7 @@ def run_measurement():
     first_exec = True
     # Subspace-recycled CG (BENCH_RECYCLE_K>1): ring buffer of recent
     # solutions whose deltas deflate the warm-start residual (ops/cg.py).
-    recycle_k = int(os.environ.get("BENCH_RECYCLE_K", "0"))
+    recycle_k = int(os.environ.get("BENCH_RECYCLE_K", "8"))
     rhist = None
     push_jit = None
     if recycle_k > 1:
@@ -366,7 +366,7 @@ def run_measurement():
     # tunnel an extra per-iteration program dispatch + host sync costs
     # ~100 ms, which at late-trajectory CG counts of ~2 would dominate
     # the iteration.
-    forcing = os.environ.get("BENCH_FORCING", "fixed")
+    forcing = os.environ.get("BENCH_FORCING", "adaptive")
     adaptive_forcing = forcing == "adaptive"
     rtol_now = None
     if adaptive_forcing:
