@@ -18,11 +18,17 @@ TPU-first split, mirroring the voxel multigrid (ops/multigrid.py):
     level-1 block-sparse operator A_1[pair] = sum_e E(rho_e) P_a^T ke_e
     P_b with batched einsums + one scatter-add (chunked over elements so
     the transient stays bounded on multi-million-element meshes), Galerkin
-    the deeper levels through the precomputed pair maps, invert the 6x6
-    diagonal blocks per level, power-estimate each level's damped-Jacobi
-    weight, and Cholesky-factor the (dense, small) coarsest level.
-  * DEVICE, per CG iteration: symmetric multilevel V-cycle with damped
-    block-Jacobi smoothing (SPD by construction, safe inside CG).
+    the deeper levels through the precomputed pair maps, invert the
+    l1-regularized 6x6/3x3 smoother blocks per level, and Cholesky-factor
+    the (dense, small) coarsest level.
+  * DEVICE, per CG iteration: symmetric multilevel V-cycle with
+    Chebyshev l1-block-Jacobi smoothing on the FIXED interval [1/6, 1]
+    (lam_max(B^-1 A) <= 1 exactly by the l1 construction — no spectral
+    estimation; SPD by construction, safe inside CG.  Single damped-
+    Jacobi sweeps measured size-degrading CG growth — 95/106/516 at
+    16/32/48^3 random-contrast — the classic unsmoothed-aggregation
+    weakness, and estimated Chebyshev bounds either under-read lam_max
+    at SIMP contrast, diverging, or over-read it 2.5x, wasting CG).
 
 Unlike the earlier two-level design, the coarse hierarchy recurses until
 the coarsest level fits a dense factorization (`max_coarse_dofs`), so
@@ -60,17 +66,23 @@ def _node_adjacency(connectivity, n_nodes):
     return A
 
 
-def _greedy_csr(indptr, indices, n):
-    """Greedy root-node aggregation on a CSR graph (see greedy_aggregate)."""
+def _greedy_csr(indptr, indices, n, max_agg=0):
+    """Greedy root-node aggregation on a CSR graph (see greedy_aggregate).
+    max_agg > 0 caps the aggregate size (absorb at most max_agg - 1
+    neighbors per seed; attach passes respect the cap best-effort)."""
     agg = np.full(n, -1, dtype=np.int64)
+    count = []
     n_agg = 0
     for v in range(n):
         if agg[v] != -1:
             continue
         nbrs = indices[indptr[v]:indptr[v + 1]]
         if np.all(agg[nbrs] == -1):
+            if max_agg > 0 and nbrs.size > max_agg - 1:
+                nbrs = nbrs[:max_agg - 1]
             agg[v] = n_agg
             agg[nbrs] = n_agg
+            count.append(1 + nbrs.size)
             n_agg += 1
     for v in range(n):
         if agg[v] != -1:
@@ -79,14 +91,25 @@ def _greedy_csr(indptr, indices, n):
         owners = agg[nbrs]
         owners = owners[owners >= 0]
         if owners.size:
-            agg[v] = np.bincount(owners).argmax()
+            counts = np.bincount(owners)
+            if max_agg > 0:
+                open_ = [o for o in np.argsort(counts)[::-1] if counts[o]
+                         and count[o] < max_agg]
+                if open_:
+                    a = int(open_[0])
+                    agg[v] = a
+                    count[a] += 1
+                    continue
+            agg[v] = counts.argmax()
+            count[agg[v]] += 1
         else:
             agg[v] = n_agg
+            count.append(1)
             n_agg += 1
     return agg.astype(np.int32), n_agg
 
 
-def greedy_aggregate(connectivity, n_nodes):
+def greedy_aggregate(connectivity, n_nodes, max_agg=0):
     """Root-node aggregation of the mesh node graph.
 
     Pass 1 seeds aggregates at nodes whose whole neighborhood is free and
@@ -96,7 +119,7 @@ def greedy_aggregate(connectivity, n_nodes):
     n_aggregates).
     """
     A = _node_adjacency(connectivity, n_nodes)
-    return _greedy_csr(A.indptr, A.indices, n_nodes)
+    return _greedy_csr(A.indptr, A.indices, n_nodes, max_agg=max_agg)
 
 
 def rigid_body_prolongator(coords, agg, n_agg, free_mask,
@@ -198,16 +221,25 @@ class MultilevelAMG:
     _CHUNK_BYTES = 96 * 1024 * 1024
 
     def __init__(self, op, mesh, free_mask, power_iters=8,
-                 max_coarse_dofs=6000, max_levels=10):
+                 max_coarse_dofs=6000, max_levels=10, smooth_iters=(3, 3),
+                 max_agg_nodes=0):
+        # smooth_iters default: (1,1)/(2,2)/(3,3)/(2,4) measured CG
+        # 158/118/99/118 at equal wall on the 24^3 connected two-phase
+        # study (scripts/amg_scaling_study.py)
         self.op = op
-        self.power_iters = int(power_iters)
+        self.power_iters = int(power_iters)   # retained for API compat;
+        # the Chebyshev bounds use Gershgorin (see _level_lam_bound)
+        if isinstance(smooth_iters, int):
+            smooth_iters = (smooth_iters, smooth_iters)
+        # Chebyshev degrees: [0] at the fine level, [1] on coarse levels
+        self.smooth_iters = tuple(int(s) for s in smooth_iters)
         conn = np.asarray(mesh.connectivity)
         n_nodes = mesh.n_nodes
         E, nn = conn.shape
         self.nn = nn
 
         # ---- level 0 -> 1: RBM tentative prolongator --------------------
-        agg0, n1 = greedy_aggregate(conn, n_nodes)
+        agg0, n1 = greedy_aggregate(conn, n_nodes, max_agg=max_agg_nodes)
         Pn, B = rigid_body_prolongator(mesh.node_coords, agg0, n1,
                                        free_mask, return_coarse=True)
         self.Pn = jnp.asarray(Pn, dtype=op.dtype)         # (n, 3, 6)
@@ -230,6 +262,19 @@ class MultilevelAMG:
         self.chunk_slices = [(s, min(s + chunk, E))
                              for s in range(0, E, chunk)]
 
+        # l1 block-Jacobi smoother constants (Baker-Falgout-Kolev-Yang):
+        # signed 3x3 corner blocks of ke and the per-dof OFF-block |ke| row
+        # sums.  B_I = A_II + diag(sum_{j not in I} |A_ij|) majorizes A
+        # (2|a|xy <= |a|(x^2+y^2) entrywise), so lam_max(B^-1 A) <= 1
+        # EXACTLY — the Chebyshev interval needs no spectral estimation.
+        ke_r = np.asarray(op.ke).reshape(E, nn, 3, nn, 3)
+        corner = np.stack([ke_r[:, a, :, a, :] for a in range(nn)], axis=1)
+        absrow = np.abs(ke_r).sum(axis=(3, 4))
+        within = np.abs(corner).sum(axis=3)
+        self.ke_corner = jnp.asarray(corner, dtype=op.dtype)
+        self.ke_l1off = jnp.asarray(absrow - within, dtype=op.dtype)
+
+
         # ---- deeper levels: recurse on the aggregate graph --------------
         self.sizes = [n1]                  # nodes per coarse level
         self.pair_rows = [jnp.asarray(p_rows)]
@@ -247,7 +292,8 @@ class MultilevelAMG:
                 (np.ones(off.sum(), dtype=np.int8),
                  (np_rows[off], np_cols[off])), shape=(n_l, n_l)).tocsr()
             A.sum_duplicates()
-            agg_l, n_next = _greedy_csr(A.indptr, A.indices, n_l)
+            agg_l, n_next = _greedy_csr(A.indptr, A.indices, n_l,
+                                        max_agg=max_agg_nodes)
             if n_next >= n_l:              # coarsening stalled
                 break
             P_l, B = _tentative_from_basis(B, agg_l, n_next)
@@ -326,31 +372,51 @@ class MultilevelAMG:
                              v[self.pair_cols[l]])
         return jnp.zeros_like(v).at[self.pair_rows[l]].add(contrib)
 
-    def _block_inv(self, l, blocks):
-        """Inverse 6x6 diagonal blocks; zero (rank-deficient padded) dofs
-        and isolated nodes get identity entries so the smoother leaves
-        them untouched."""
+    # Chebyshev smoothing intervals.
+    #
+    # An UPPER bound on lam_max(B^-1 A) is mandatory: Chebyshev (and
+    # damped Jacobi) AMPLIFY the spectrum above their interval, and a
+    # power-iteration Rayleigh quotient is a LOWER bound — at SIMP
+    # contrast the top eigenvalues cluster, 8 power steps under-read
+    # lam_max by 20-30% (measured at 48^3: carried 1.66/2.21 vs true
+    # >= 1.83/2.69) and the smoother diverges on the missed band (CG
+    # stalls at maxiter).  Estimated/Gershgorin bounds are either unsafe
+    # or ~2.5x loose for elasticity (sign cancellations); the l1
+    # regularization of the smoother itself makes lam_max <= 1 EXACT,
+    # with no spectral estimation anywhere.
+
+    def _fine_l1_binv(self, scale, free_mask):
+        """Inverse l1-regularized 3x3 nodal blocks of the fine operator,
+        chunk-assembled; BC rows/cols masked to identity."""
+        sc = scale.astype(self.Pn.dtype)
+        B = jnp.zeros((self.n_nodes, 3, 3), dtype=self.Pn.dtype)
+        off = jnp.zeros((self.n_nodes, 3), dtype=self.Pn.dtype)
+        for s, e in self.chunk_slices:
+            w = sc[s:e, None, None, None]
+            B = B.at[self.node_conn[s:e]].add(w * self.ke_corner[s:e])
+            off = off.at[self.node_conn[s:e]].add(
+                w[..., 0] * self.ke_l1off[s:e])
+        eye = jnp.eye(3, dtype=self.Pn.dtype)[None]
+        B = B + off[:, :, None] * eye
+        m = free_mask.reshape(self.n_nodes, 3).astype(self.Pn.dtype)
+        B = B * m[:, :, None] * m[:, None, :]
+        B = B + (1.0 - m)[:, :, None] * eye
+        return jnp.linalg.inv(B)
+
+    def _level_l1_binv(self, l, blocks):
+        """Inverse l1-regularized 6x6 diagonal blocks of A_l."""
         pos, has = self.diag_idx[l]
         D = blocks[pos] * has[:, None, None].astype(blocks.dtype)
-        d = jnp.diagonal(D, axis1=1, axis2=2)
-        fix = (d <= 1e-30).astype(D.dtype)
-        D = D + fix[:, :, None] * jnp.eye(6, dtype=D.dtype)[None]
-        return jnp.linalg.inv(D)
-
-    def _level_omega(self, l, blocks, Binv):
-        """Damped-Jacobi weight 1 / (1.1 lambda_max(Binv A_l))."""
-        v = jnp.ones((self.sizes[l], 6), dtype=blocks.dtype)
-        v = v / jnp.linalg.norm(v)
-
-        def body(_, v):
-            w = jnp.einsum("nij,nj->ni", Binv,
-                           self._matvec_level(l, blocks, v))
-            return w / jnp.linalg.norm(w)
-
-        v = jax.lax.fori_loop(0, self.power_iters, body, v)
-        w = jnp.einsum("nij,nj->ni", Binv, self._matvec_level(l, blocks, v))
-        lam = jnp.vdot(v, w) / jnp.vdot(v, v)
-        return 1.0 / (1.1 * lam)
+        absrow = jnp.zeros((self.sizes[l], 6), dtype=blocks.dtype)
+        absrow = absrow.at[self.pair_rows[l]].add(
+            jnp.abs(blocks).sum(axis=-1))
+        off = absrow - jnp.abs(D).sum(axis=-1)
+        eye = jnp.eye(6, dtype=blocks.dtype)[None]
+        B = D + off[:, :, None] * eye
+        d = jnp.diagonal(B, axis1=1, axis2=2)
+        fix = (d <= 1e-30).astype(B.dtype)
+        B = B + fix[:, :, None] * eye
+        return jnp.linalg.inv(B)
 
     def _coarsest_factor(self, blocks):
         """Dense coarsest assembly + regularized Cholesky."""
@@ -365,31 +431,47 @@ class MultilevelAMG:
 
     def setup(self, scale, free_mask, Binv, A):
         """Once per SIMP iteration.  Returns the opaque state pytree for
-        `apply`: per-level operator blocks + block-Jacobi inverses +
-        smoother weights, the coarsest Cholesky factor, and the fine-level
-        smoother weight omega0 = 1 / (1.1 lambda_max(Binv A))."""
+        `apply`: per-level operator blocks + l1-regularized block-Jacobi
+        smoother inverses (lam_max(B^-1 A) <= 1 by construction) and the
+        coarsest Cholesky factor.  `Binv`/`A` are accepted for API
+        stability; smoothing uses the l1 blocks, not the plain
+        block-Jacobi inverse."""
         blocks = [self._assemble_level1(scale)]
         for l in range(self.n_coarse_levels - 1):
             blocks.append(self._galerkin_next(l, blocks[-1]))
-        Binvs, omegas = [], []
-        for l in range(self.n_coarse_levels - 1):
-            Bi = self._block_inv(l, blocks[l])
-            Binvs.append(Bi)
-            omegas.append(self._level_omega(l, blocks[l], Bi))
+        Binvs = [self._level_l1_binv(l, blocks[l])
+                 for l in range(self.n_coarse_levels - 1)]
         L = self._coarsest_factor(blocks[-1])
-
-        def body(k, v):
-            w = self.op.apply_block_jacobi(Binv, A(v))
-            return w / jnp.linalg.norm(w)
-
-        v0 = free_mask.reshape(-1)
-        v0 = v0 / jnp.linalg.norm(v0)
-        v = jax.lax.fori_loop(0, self.power_iters, body, v0)
-        w = self.op.apply_block_jacobi(Binv, A(v))
-        lam_max = jnp.vdot(v, w) / jnp.vdot(v, v)
-        omega0 = 1.0 / (1.1 * lam_max)
+        Binv0 = self._fine_l1_binv(scale, free_mask)
         return {"blocks": tuple(blocks[:-1]), "Binvs": tuple(Binvs),
-                "omegas": tuple(omegas), "L": L, "omega0": omega0}
+                "L": L, "Binv0": Binv0}
+
+    @staticmethod
+    def _chebyshev(Bapply, Aapply, r, x, iters):
+        """Degree-`iters` Chebyshev polynomial in (B^-1 A) over the FIXED
+        interval [1/6, 1] — same three-term recurrence and interval ratio
+        as the voxel multigrid (ops/multigrid.py _smooth); the single
+        damped-Jacobi sweep it replaces is the textbook cause of
+        size-degrading convergence for unsmoothed-aggregation AMG, and
+        the l1 smoother blocks make lam_max <= 1 exact (see above).
+        x=None means the initial iterate is exactly zero (pre-smooth),
+        saving one operator apply."""
+        lam_max = 1.0
+        lam_min = lam_max / 6.0
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+        sigma = theta / delta
+        res = r if x is None else r - Aapply(x)
+        d = Bapply(res) / theta
+        x = d if x is None else x + d
+        rho_old = 1.0 / sigma
+        for _ in range(1, iters):
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            res = r - Aapply(x)
+            d = (rho * rho_old) * d + (2.0 * rho / delta) * Bapply(res)
+            x = x + d
+            rho_old = rho
+        return x
 
     # ----- per-CG-iteration V-cycle (device) -------------------------------
     def _cycle(self, l, state, r):
@@ -399,25 +481,30 @@ class MultilevelAMG:
             return zc.reshape(r.shape)
         blocks = state["blocks"][l]
         Binv = state["Binvs"][l]
-        omega = state["omegas"][l]
-        z = omega * jnp.einsum("nij,nj->ni", Binv, r)
-        res = r - self._matvec_level(l, blocks, z)
+        Bapply = lambda v: jnp.einsum("nij,nj->ni", Binv, v)
+        Aapply = lambda v: self._matvec_level(l, blocks, v)
+        deg = self.smooth_iters[1]
+        z = self._chebyshev(Bapply, Aapply, r, None, deg)
+        res = r - Aapply(z)
         P = self.P_coarse[l]
         rc = jnp.zeros((self.sizes[l + 1], 6), dtype=r.dtype)
         rc = rc.at[self.agg_coarse[l]].add(
             jnp.einsum("nki,nk->ni", P, res))
         zc = self._cycle(l + 1, state, rc)
         z = z + jnp.einsum("nki,ni->nk", P, zc[self.agg_coarse[l]])
-        res = r - self._matvec_level(l, blocks, z)
-        return z + omega * jnp.einsum("nij,nj->ni", Binv, res)
+        return self._chebyshev(Bapply, Aapply, r, z, deg)
 
     def apply(self, r, A, Binv, state, free_mask):
-        """Symmetric multilevel cycle: damped-block-Jacobi pre-smooth,
-        recursive coarse correction, matching post-smooth."""
-        omega0 = state["omega0"]
-        z = omega0 * self.op.apply_block_jacobi(Binv, r)
+        """Symmetric multilevel cycle: Chebyshev l1-block-Jacobi
+        pre-smooth, recursive coarse correction, matching post-smooth.
+        `Binv` is accepted for API stability; smoothing uses the l1
+        blocks in `state`."""
+        B0 = state["Binv0"]
+        Bapply = lambda v: jnp.einsum(
+            "nij,nj->ni", B0, v.reshape(self.n_nodes, 3)).reshape(-1)
+        deg = self.smooth_iters[0]
+        z = self._chebyshev(Bapply, A, r, None, deg)
         rc = self.restrict((r - A(z)) * free_mask)
         zc = self._cycle(0, state, rc.reshape(self.sizes[0], 6))
         z = z + self.prolong(zc.reshape(-1)) * free_mask
-        z = z + omega0 * self.op.apply_block_jacobi(Binv, r - A(z))
-        return z
+        return self._chebyshev(Bapply, A, r, z, deg)
