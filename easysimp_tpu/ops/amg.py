@@ -36,6 +36,15 @@ imported meshes are no longer capped near ~1e5 fine nodes; and the
 per-element coarse Galerkin blocks are computed on device per iteration
 instead of being precomputed ((E, nn, nn, 6, 6) host tensors grew to
 hundreds of MB on the reference's gripper alone).
+
+`smooth_prolongator=True` upgrades the tentative transfers to smoothed
+aggregation (Vanek/Mandel/Brezina): P_s = (I - omega B^-1 A) P_t with
+the l1 blocks as B and omega = 4/3 / lam_max(B^-1 A) power-estimated
+per level.  Because A carries the densities, P_s is rebuilt ON DEVICE
+each SIMP iteration: the fine operator is assembled once per iteration
+in node-node block-sparse form and the Galerkin triple products run
+over host-precomputed flat term indices (see _sa_structure) — a
+lax.scan keeps the compiled program constant-size in the term count.
 """
 
 from __future__ import annotations
@@ -205,6 +214,58 @@ def _unique_pairs(rows, cols, n):
             inv.astype(np.int32))
 
 
+def _sa_structure(p_rows, p_cols, agg, n_agg, n_fine):
+    """Index structure for one smoothed-prolongator transfer (host, once).
+
+    Given a level's operator pair pattern (p_rows, p_cols) and its
+    aggregation map, the smoothed prolongator P_s = (I - w B^-1 A) P_t
+    lives on the (fine row, aggregate) pattern
+
+        {(r, agg[c]) for pairs} U {(v, agg[v]) for fine rows v}
+
+    and the next-level Galerkin operator A' = P_s^T A P_s on the pattern
+    {(a, b) : a in aggs(row m), b in aggs(row n), (m, n) a pair}.  Returns
+
+      na_rows, na_cols       the P_s pattern (sorted row-major)
+      pair2na                pair id -> na id of (p_rows, agg[p_cols])
+                             (scatter target for Y = A P_t)
+      inject                 fine row v -> na id of (v, agg[v])
+                             (scatter target for the P_t term of P_s)
+      t_pid, t_left, t_right, t_out
+                             flat term arrays of the triple product
+                             A'[t_out] += P_s[t_left]^T A[t_pid] P_s[t_right]
+      q_rows, q_cols         the A' pattern
+    """
+    p_rows = np.asarray(p_rows)
+    p_cols = np.asarray(p_cols)
+    agg = np.asarray(agg, dtype=np.int64)
+    key = p_rows.astype(np.int64) * n_agg + agg[p_cols]
+    keyv = np.arange(n_fine, dtype=np.int64) * n_agg + agg[:n_fine]
+    ukeys, inv = np.unique(np.concatenate([key, keyv]), return_inverse=True)
+    na_rows = (ukeys // n_agg).astype(np.int32)
+    na_cols = (ukeys % n_agg).astype(np.int32)
+    pair2na = inv[:key.size].astype(np.int32)
+    inject = inv[key.size:].astype(np.int32)
+    # CSR of the (sorted) na entries by fine row
+    start = np.searchsorted(na_rows, np.arange(n_fine + 1)).astype(np.int64)
+    deg = start[1:] - start[:-1]
+    dL, dR = deg[p_rows], deg[p_cols]
+    tcount = dL * dR
+    total = int(tcount.sum())
+    t_pid = np.repeat(np.arange(p_rows.size, dtype=np.int64), tcount)
+    offs = np.concatenate([[0], np.cumsum(tcount)[:-1]])
+    k = np.arange(total, dtype=np.int64) - offs[t_pid]
+    t_left = start[p_rows][t_pid] + k // dR[t_pid]
+    t_right = start[p_cols][t_pid] + k % dR[t_pid]
+    okey = na_cols[t_left].astype(np.int64) * n_agg + na_cols[t_right]
+    uo, t_out = np.unique(okey, return_inverse=True)
+    q_rows = (uo // n_agg).astype(np.int32)
+    q_cols = (uo % n_agg).astype(np.int32)
+    terms = (t_pid.astype(np.int32), t_left.astype(np.int32),
+             t_right.astype(np.int32), t_out.astype(np.int32))
+    return na_rows, na_cols, pair2na, inject, terms, q_rows, q_cols
+
+
 class MultilevelAMG:
     """Recursive RBM-aggregation preconditioner for UnstructuredOperator.
 
@@ -220,9 +281,12 @@ class MultilevelAMG:
     # transient budget for the chunked level-1 assembly (bytes)
     _CHUNK_BYTES = 96 * 1024 * 1024
 
+    # static scan-chunk length for the smoothed-prolongator triple product
+    _SA_TERM_CHUNK = 1 << 18
+
     def __init__(self, op, mesh, free_mask, power_iters=8,
                  max_coarse_dofs=6000, max_levels=10, smooth_iters=(3, 3),
-                 max_agg_nodes=0):
+                 max_agg_nodes=0, smooth_prolongator=False):
         # smooth_iters default: (1,1)/(2,2)/(3,3)/(2,4) measured CG
         # 158/118/99/118 at equal wall on the 24^3 connected two-phase
         # study (scripts/amg_scaling_study.py)
@@ -247,12 +311,44 @@ class MultilevelAMG:
         self.n_nodes = n_nodes
         self.node_conn = jnp.asarray(conn.astype(np.int32))
 
-        # level-1 block-pair structure from the element connectivity
-        ea = agg0[conn]                                   # (E, nn)
-        rows = np.broadcast_to(ea[:, :, None], (E, nn, nn)).ravel()
-        cols = np.broadcast_to(ea[:, None, :], (E, nn, nn)).ravel()
-        p_rows, p_cols, inv = _unique_pairs(rows, cols, n1)
-        self.elem_pair_idx = jnp.asarray(inv.reshape(E, nn, nn))
+        self.smooth_p = bool(smooth_prolongator)
+        self._sa_na = []        # per-transfer (na_rows, na_cols)
+        self._sa_pair2na = []   # per-transfer pair id -> na id
+        self._sa_inject = []    # per-transfer fine row -> na id of (v, agg[v])
+        self._sa_terms = []     # per-transfer padded (C, chunk) term arrays
+        if self.smooth_p:
+            # node-node pair pattern (self-pairs forced so the P_t
+            # injection slot (v, agg[v]) always exists)
+            rn = np.broadcast_to(conn[:, :, None], (E, nn, nn)).ravel()
+            cn = np.broadcast_to(conn[:, None, :], (E, nn, nn)).ravel()
+            arange_n = np.arange(n_nodes)
+            n_rows, n_cols, inv_nn = _unique_pairs(
+                np.concatenate([rn, arange_n]),
+                np.concatenate([cn, arange_n]), n_nodes)
+            self.elem_nodepair_idx = jnp.asarray(
+                inv_nn[:E * nn * nn].reshape(E, nn, nn))
+            self.nodepair_rows = jnp.asarray(n_rows)
+            self.nodepair_cols = jnp.asarray(n_cols)
+            self.elem_pair_idx = None
+            p_rows, p_cols = self._push_sa_level(n_rows, n_cols, agg0, n1,
+                                                 n_nodes)
+            # aggregation GRAPH for the deeper levels: the tentative
+            # (distance-1) aggregate adjacency, NOT the smoothed operator
+            # pattern — greedy aggregation on the dist-3 smoothed pattern
+            # absorbs whole neighborhoods and over-coarsens catastrophically
+            # (measured 112 -> 2 aggregates in one step on a 20x10x10 tet
+            # mesh vs 112 -> 12 on the tentative graph)
+            ea = agg0[conn]
+            t_rows, t_cols, _ = _unique_pairs(
+                np.broadcast_to(ea[:, :, None], (E, nn, nn)).ravel(),
+                np.broadcast_to(ea[:, None, :], (E, nn, nn)).ravel(), n1)
+        else:
+            # level-1 block-pair structure from the element connectivity
+            ea = agg0[conn]                               # (E, nn)
+            rows = np.broadcast_to(ea[:, :, None], (E, nn, nn)).ravel()
+            cols = np.broadcast_to(ea[:, None, :], (E, nn, nn)).ravel()
+            p_rows, p_cols, inv = _unique_pairs(rows, cols, n1)
+            self.elem_pair_idx = jnp.asarray(inv.reshape(E, nn, nn))
 
         # chunk slices so the (c, nn, nn, 6, 6) assembly transient stays
         # bounded on multi-million-element meshes
@@ -287,23 +383,31 @@ class MultilevelAMG:
         while 6 * self.sizes[-1] > max_coarse_dofs and \
                 len(self.sizes) < max_levels:
             n_l = self.sizes[-1]
-            off = np_rows != np_cols
+            g_rows, g_cols = (t_rows, t_cols) if self.smooth_p \
+                else (np_rows, np_cols)
+            off = g_rows != g_cols
             A = sp.coo_matrix(
                 (np.ones(off.sum(), dtype=np.int8),
-                 (np_rows[off], np_cols[off])), shape=(n_l, n_l)).tocsr()
+                 (g_rows[off], g_cols[off])), shape=(n_l, n_l)).tocsr()
             A.sum_duplicates()
             agg_l, n_next = _greedy_csr(A.indptr, A.indices, n_l,
                                         max_agg=max_agg_nodes)
             if n_next >= n_l:              # coarsening stalled
                 break
             P_l, B = _tentative_from_basis(B, agg_l, n_next)
-            rows_next = agg_l[np_rows]
-            cols_next = agg_l[np_cols]
-            q_rows, q_cols, pair_map = _unique_pairs(rows_next, cols_next,
-                                                     n_next)
+            if self.smooth_p:
+                q_rows, q_cols = self._push_sa_level(np_rows, np_cols,
+                                                     agg_l, n_next, n_l)
+                t_rows, t_cols, _ = _unique_pairs(
+                    agg_l[t_rows], agg_l[t_cols], n_next)
+            else:
+                rows_next = agg_l[np_rows]
+                cols_next = agg_l[np_cols]
+                q_rows, q_cols, pair_map = _unique_pairs(
+                    rows_next, cols_next, n_next)
+                self.pair_maps.append(jnp.asarray(pair_map))
             self.P_coarse.append(jnp.asarray(P_l, dtype=op.dtype))
             self.agg_coarse.append(jnp.asarray(agg_l))
-            self.pair_maps.append(jnp.asarray(pair_map))
             self.sizes.append(n_next)
             self.pair_rows.append(jnp.asarray(q_rows))
             self.pair_cols.append(jnp.asarray(q_cols))
@@ -320,6 +424,32 @@ class MultilevelAMG:
             self.diag_idx.append((jnp.asarray(pos), jnp.asarray(has)))
         self.n_coarse_levels = len(self.sizes)
         self.nc = 6 * self.sizes[-1]       # coarsest (dense) dimension
+
+    def _push_sa_level(self, p_rows, p_cols, agg, n_agg, n_fine):
+        """Build + store the smoothed-transfer index structure for one
+        level (host, once); returns the next level's operator pattern."""
+        (na_r, na_c, pair2na, inject, terms,
+         q_rows, q_cols) = _sa_structure(p_rows, p_cols, agg, n_agg, n_fine)
+        self._sa_na.append((jnp.asarray(na_r), jnp.asarray(na_c)))
+        self._sa_pair2na.append(jnp.asarray(pair2na))
+        self._sa_inject.append(jnp.asarray(inject))
+        # pad the term arrays to a scan-chunk multiple; padded entries
+        # scatter into a dummy row n_out that _sa_galerkin drops
+        t_pid, t_left, t_right, t_out = terms
+        total = t_pid.size
+        chunk = max(1, min(total, self._SA_TERM_CHUNK))
+        n_chunks = -(-total // chunk)
+        pad = n_chunks * chunk - total
+
+        def _padded(a, fill):
+            return jnp.asarray(np.concatenate(
+                [a, np.full(pad, fill, dtype=a.dtype)]).reshape(
+                    n_chunks, chunk))
+
+        self._sa_terms.append((_padded(t_pid, 0), _padded(t_left, 0),
+                               _padded(t_right, 0),
+                               _padded(t_out, q_rows.size)))
+        return q_rows, q_cols
 
     # ----- level-0 transfer operators (device) -----------------------------
     def restrict(self, r):
@@ -365,6 +495,102 @@ class MultilevelAMG:
         out = jnp.zeros((self.pair_rows[l + 1].shape[0], 6, 6),
                         dtype=blocks.dtype)
         return out.at[self.pair_maps[l]].add(g)
+
+    # ----- smoothed-aggregation setup pieces (device, jit-safe) ------------
+    #
+    # The tentative (unsmoothed) transfers give piecewise-RBM coarse
+    # spaces whose energy error grows with aggregate diameter — the
+    # classic size-degrading convergence of plain aggregation AMG
+    # (measured here: CG 78 @24^3 -> 228 @32^3 on the connected two-phase
+    # study at 1e9 contrast).  One damped-Jacobi smoothing step
+    #
+    #     P_s = (I - (4/3) B^-1 A) P_t
+    #
+    # (Vanek/Mandel/Brezina) restores near-optimal approximation.  B is
+    # the l1 smoother block diagonal already built per level, so
+    # lam_max(B^-1 A) <= 1 EXACTLY and the textbook 4/3 / lam damping
+    # needs no spectral estimation: |1 - (4/3) t| < 1 on (0, 3/2).
+    # Because A changes with the densities, P_s is rebuilt on device each
+    # SIMP iteration: the fine operator is assembled once in node-node
+    # block-sparse form, Y = A P_t rides a precomputed pair -> (row, agg)
+    # map, and the Galerkin product P_s^T A P_s runs as a lax.scan over
+    # precomputed flat term indices (_sa_structure) — no element-wise
+    # K^2 blowup, and the program size stays constant in mesh size.
+
+    def _assemble_node_blocks(self, scale, free_mask):
+        """Masked fine operator in node-node block-sparse form:
+        (n_nodepairs, 3, 3), chunk-assembled from the element ke."""
+        sc = scale.astype(self.Pn.dtype)
+        ke = self.op.ke
+        nn = self.nn
+        acc = jnp.zeros((self.nodepair_rows.shape[0], 3, 3),
+                        dtype=self.Pn.dtype)
+        for s, e in self.chunk_slices:
+            c = e - s
+            keb = (ke[s:e] * sc[s:e, None, None]).reshape(c, nn, 3, nn, 3)
+            g = jnp.transpose(keb, (0, 1, 3, 2, 4))      # (c, nn, nn, 3, 3)
+            acc = acc.at[self.elem_nodepair_idx[s:e].reshape(-1)].add(
+                g.reshape(-1, 3, 3))
+        m = free_mask.reshape(self.n_nodes, 3).astype(acc.dtype)
+        return (acc * m[self.nodepair_rows][:, :, None]
+                * m[self.nodepair_cols][:, None, :])
+
+    # Power iterations for the prolongator damping omega = 4/3 / lam.
+    # Unlike the Chebyshev interval (where an under-read DIVERGES — see
+    # the l1 rationale above), the damping only shapes P_s: A' = P_s^T A
+    # P_s is SPSD for ANY P_s, so estimate error degrades transfer
+    # quality gracefully.  The exact l1 bound lam <= 1 is ~2.5x loose for
+    # elasticity (sign cancellations), which left omega = 4/3
+    # under-damped: measured CG 61/61/167 at 16/24/32^3 connected
+    # two-phase 1e9-contrast with the fixed bound vs the estimated-omega
+    # counts in docs/performance_tuning.md.
+    _SA_POWER_ITERS = 10
+
+    def _sa_lambda(self, Aapply, Bapply, n_fine, k, dtype):
+        """Power-iteration estimate of lam_max(B^-1 A) at one level,
+        integer-Knuth-hash start (no sin of large args on TPU)."""
+        h = (jnp.arange(n_fine * k, dtype=jnp.uint32)
+             * jnp.uint32(2654435761))
+        v = ((h >> 8).astype(dtype) / jnp.asarray(2.0**24, dtype)
+             - 0.5).reshape(n_fine, k)
+        tiny = jnp.finfo(dtype).tiny
+        lam = jnp.asarray(1.0, dtype)
+        for _ in range(self._SA_POWER_ITERS):
+            w = Bapply(Aapply(v))
+            lam = jnp.sqrt(jnp.vdot(w, w)
+                           / jnp.maximum(jnp.vdot(v, v), tiny))
+            v = w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), tiny)
+        return jnp.clip(lam, 0.05, 1.0)
+
+    def _node_matvec(self, Anode, v):
+        """Masked fine matvec through the node-node blocks; v (n, 3)."""
+        contrib = jnp.einsum("pab,pb->pa", Anode, v[self.nodepair_cols])
+        return jnp.zeros_like(v).at[self.nodepair_rows].add(contrib)
+
+    def _smooth_transfer(self, l, blocks, cols, Binv, Pt, omega):
+        """P_s = P_t - omega B^-1 (A P_t) on the precomputed na pattern.
+        blocks: (n_pairs, k, k) A blocks, cols their column ids, Binv the
+        l1 block inverses (n_fine, k, k), Pt (n_fine, k, 6)."""
+        na_r, _ = self._sa_na[l]
+        y = jnp.einsum("pab,pbj->paj", blocks, Pt[cols])
+        Y = jnp.zeros((na_r.shape[0],) + Pt.shape[1:], dtype=Pt.dtype)
+        Y = Y.at[self._sa_pair2na[l]].add(y)
+        Z = jnp.zeros_like(Y).at[self._sa_inject[l]].set(Pt)
+        return Z - omega * jnp.einsum("nab,nbj->naj", Binv[na_r], Y)
+
+    def _sa_galerkin(self, l, Amid, Ps):
+        """A_next = P_s^T A P_s over the flat term index, as a scan so the
+        compiled program is constant-size in the term count."""
+        n_out = int(self.pair_rows[l].shape[0])
+        acc0 = jnp.zeros((n_out + 1, 6, 6), dtype=Amid.dtype)
+
+        def body(acc, idx):
+            pid, lft, rgt, out = idx
+            g = jnp.einsum("tki,tkl,tlj->tij", Ps[lft], Amid[pid], Ps[rgt])
+            return acc.at[out].add(g), None
+
+        acc, _ = jax.lax.scan(body, acc0, self._sa_terms[l])
+        return acc[:-1]
 
     def _matvec_level(self, l, blocks, v):
         """Block-sparse A_l v; v (n_l, 6)."""
@@ -435,14 +661,42 @@ class MultilevelAMG:
         smoother inverses (lam_max(B^-1 A) <= 1 by construction) and the
         coarsest Cholesky factor.  `Binv`/`A` are accepted for API
         stability; smoothing uses the l1 blocks, not the plain
-        block-Jacobi inverse."""
+        block-Jacobi inverse.  With smooth_prolongator the per-level
+        smoothed transfers P_s (density-dependent) join the state."""
+        Binv0 = self._fine_l1_binv(scale, free_mask)
+        if self.smooth_p:
+            Anode = self._assemble_node_blocks(scale, free_mask)
+            lam0 = self._sa_lambda(
+                lambda v: self._node_matvec(Anode, v),
+                lambda v: jnp.einsum("nab,nb->na", Binv0, v),
+                self.n_nodes, 3, self.Pn.dtype)
+            Ps0 = self._smooth_transfer(0, Anode, self.nodepair_cols,
+                                        Binv0, self.Pn, (4.0 / 3.0) / lam0)
+            blocks = [self._sa_galerkin(0, Anode, Ps0)]
+            Ps_list = [Ps0]
+            Binvs = []
+            for l in range(self.n_coarse_levels - 1):
+                Bl = self._level_l1_binv(l, blocks[l])
+                Binvs.append(Bl)
+                lam = self._sa_lambda(
+                    lambda v: self._matvec_level(l, blocks[l], v),
+                    lambda v: jnp.einsum("nab,nb->na", Bl, v),
+                    self.sizes[l], 6, self.Pn.dtype)
+                Psl = self._smooth_transfer(l + 1, blocks[l],
+                                            self.pair_cols[l], Bl,
+                                            self.P_coarse[l],
+                                            (4.0 / 3.0) / lam)
+                Ps_list.append(Psl)
+                blocks.append(self._sa_galerkin(l + 1, blocks[l], Psl))
+            L = self._coarsest_factor(blocks[-1])
+            return {"blocks": tuple(blocks[:-1]), "Binvs": tuple(Binvs),
+                    "L": L, "Binv0": Binv0, "Ps": tuple(Ps_list)}
         blocks = [self._assemble_level1(scale)]
         for l in range(self.n_coarse_levels - 1):
             blocks.append(self._galerkin_next(l, blocks[-1]))
         Binvs = [self._level_l1_binv(l, blocks[l])
                  for l in range(self.n_coarse_levels - 1)]
         L = self._coarsest_factor(blocks[-1])
-        Binv0 = self._fine_l1_binv(scale, free_mask)
         return {"blocks": tuple(blocks[:-1]), "Binvs": tuple(Binvs),
                 "L": L, "Binv0": Binv0}
 
@@ -486,12 +740,21 @@ class MultilevelAMG:
         deg = self.smooth_iters[1]
         z = self._chebyshev(Bapply, Aapply, r, None, deg)
         res = r - Aapply(z)
-        P = self.P_coarse[l]
-        rc = jnp.zeros((self.sizes[l + 1], 6), dtype=r.dtype)
-        rc = rc.at[self.agg_coarse[l]].add(
-            jnp.einsum("nki,nk->ni", P, res))
-        zc = self._cycle(l + 1, state, rc)
-        z = z + jnp.einsum("nki,ni->nk", P, zc[self.agg_coarse[l]])
+        if self.smooth_p:
+            Ps = state["Ps"][l + 1]
+            na_r, na_c = self._sa_na[l + 1]
+            rc = jnp.zeros((self.sizes[l + 1], 6), dtype=r.dtype)
+            rc = rc.at[na_c].add(jnp.einsum("pki,pk->pi", Ps, res[na_r]))
+            zc = self._cycle(l + 1, state, rc)
+            z = z + jnp.zeros_like(z).at[na_r].add(
+                jnp.einsum("pki,pi->pk", Ps, zc[na_c]))
+        else:
+            P = self.P_coarse[l]
+            rc = jnp.zeros((self.sizes[l + 1], 6), dtype=r.dtype)
+            rc = rc.at[self.agg_coarse[l]].add(
+                jnp.einsum("nki,nk->ni", P, res))
+            zc = self._cycle(l + 1, state, rc)
+            z = z + jnp.einsum("nki,ni->nk", P, zc[self.agg_coarse[l]])
         return self._chebyshev(Bapply, Aapply, r, z, deg)
 
     def apply(self, r, A, Binv, state, free_mask):
@@ -504,7 +767,19 @@ class MultilevelAMG:
             "nij,nj->ni", B0, v.reshape(self.n_nodes, 3)).reshape(-1)
         deg = self.smooth_iters[0]
         z = self._chebyshev(Bapply, A, r, None, deg)
-        rc = self.restrict((r - A(z)) * free_mask)
-        zc = self._cycle(0, state, rc.reshape(self.sizes[0], 6))
-        z = z + self.prolong(zc.reshape(-1)) * free_mask
+        res = (r - A(z)) * free_mask
+        if self.smooth_p:
+            Ps = state["Ps"][0]
+            na_r, na_c = self._sa_na[0]
+            rn = res.reshape(self.n_nodes, 3)
+            rc = jnp.zeros((self.sizes[0], 6), dtype=r.dtype)
+            rc = rc.at[na_c].add(jnp.einsum("pki,pk->pi", Ps, rn[na_r]))
+            zc = self._cycle(0, state, rc)
+            corr = jnp.zeros_like(rn).at[na_r].add(
+                jnp.einsum("pki,pi->pk", Ps, zc[na_c]))
+            z = z + corr.reshape(-1) * free_mask
+        else:
+            rc = self.restrict(res)
+            zc = self._cycle(0, state, rc.reshape(self.sizes[0], 6))
+            z = z + self.prolong(zc.reshape(-1)) * free_mask
         return self._chebyshev(Bapply, A, r, z, deg)

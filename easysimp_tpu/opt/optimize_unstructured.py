@@ -168,8 +168,10 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         from ..ops.amg import MultilevelAMG
 
         free_mask_np = np.asarray(free_mask)
-        amg = MultilevelAMG(op, mesh, free_mask_np,
-                            max_coarse_dofs=params.amg_max_coarse_dofs)
+        amg = MultilevelAMG(
+            op, mesh, free_mask_np,
+            max_coarse_dofs=params.amg_max_coarse_dofs,
+            smooth_prolongator=params.amg_smooth_prolongator)
         if device_mesh is not None:
             from ..parallel.sharding import (element_sharding,
                                              replicated_sharding)
@@ -178,7 +180,11 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
             # op.ke; the (small) aggregate-space arrays stay replicated
             es = element_sharding(device_mesh)
             amg.node_conn = jax.device_put(amg.node_conn, es)
-            amg.elem_pair_idx = jax.device_put(amg.elem_pair_idx, es)
+            if amg.smooth_p:
+                amg.elem_nodepair_idx = jax.device_put(
+                    amg.elem_nodepair_idx, es)
+            else:
+                amg.elem_pair_idx = jax.device_put(amg.elem_pair_idx, es)
             rep = replicated_sharding(device_mesh)
             amg.Pn = jax.device_put(amg.Pn, rep)
             amg.agg_idx = jax.device_put(amg.agg_idx, rep)

@@ -96,6 +96,12 @@ class OptimizationParameters:
                                         # aggregation until the coarsest
                                         # (dense-factorized) level fits
                                         # this many dofs
+    amg_smooth_prolongator: bool = False  # smoothed-aggregation transfers
+                                        # P_s = (I - 4/3 B^-1 A) P_t,
+                                        # rebuilt on device per iteration;
+                                        # flatter CG growth with mesh size
+                                        # on slender high-contrast fields
+                                        # at ~K^2 setup-assembly cost
     mg_levels: int = 0                  # 0 = auto depth
     mg_smooth_iters: object = (1, 3)    # Chebyshev degree / Jacobi sweeps;
                                         # int, or a per-level sequence like

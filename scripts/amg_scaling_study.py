@@ -71,7 +71,8 @@ def correlated_density(n, corr, rng, connect=True):
     return np.tile(rho_vox, 6), solid
 
 
-def run_size(n, dtype, rtol, contrast, max_coarse, corr, connect=True):
+def run_size(n, dtype, rtol, contrast, max_coarse, corr, connect=True,
+             smoothed=False):
     import jax.numpy as jnp
     import numpy as np
 
@@ -111,7 +112,8 @@ def run_size(n, dtype, rtol, contrast, max_coarse, corr, connect=True):
 
     t0 = time.time()
     amg = MultilevelAMG(op, mesh, np.asarray(mask),
-                        max_coarse_dofs=max_coarse)
+                        max_coarse_dofs=max_coarse,
+                        smooth_prolongator=smoothed)
     t_hier = time.time() - t0
 
     A = lambda v: op.apply(v, scale, mask)
@@ -154,6 +156,9 @@ def main():
                          "(0 = iid percolation pathology)")
     ap.add_argument("--no-connect", action="store_true",
                     help="keep floating solid islands (pathological)")
+    ap.add_argument("--smoothed", action="store_true",
+                    help="smoothed-aggregation prolongators "
+                         "(P_s = (I - 4/3 B^-1 A) P_t)")
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
 
@@ -173,7 +178,7 @@ def main():
               file=sys.stderr)
         r = run_size(n, args.dtype, args.rtol, args.contrast,
                      args.max_coarse_dofs, args.corr,
-                     connect=not args.no_connect)
+                     connect=not args.no_connect, smoothed=args.smoothed)
         print(f"  levels {r['level_sizes_dofs']}  cg {r['cg_iterations']}  "
               f"hier {r['hierarchy_s']}s setup {r['setup_s']}s "
               f"solve {r['solve_s']}s", file=sys.stderr)
