@@ -217,6 +217,201 @@ def run_sharded_evidence(n_devices: int):
     }), flush=True)
 
 
+def run_unstructured(spec):
+    """BENCH_UNSTRUCTURED child: it/s of the unstructured SIMP iteration
+    on the device.
+
+    spec = "gripper" — the reference's flagship stul14 workload
+    (test/Examples/04_gripper_complex.jl analogue: imported hex mesh,
+    multi-load, body force, AMG-CG) — or an integer N for a synthetic
+    6-tets-per-voxel cantilever on an N^3 grid (scale study: N=44 ~ 570k
+    tets / 91k nodes).  Mirrors the library driver loop (recycling +
+    adaptive forcing on the host schedule, opt/optimize_unstructured.py).
+    Emits one JSON line; BENCH_PHASES=1 adds an AMG setup/cycle/matvec
+    phase breakdown to stderr AFTER the JSON (fault-isolated)."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compilation_cache()
+    log(f"devices: {jax.devices()}")
+
+    import easysimp_tpu as et
+    from easysimp_tpu.opt.optimize_unstructured import \
+        build_unstructured_step
+    from easysimp_tpu.ops.cg import recycle_init, recycle_push
+    from easysimp_tpu.utils.terminal import set_quiet
+
+    set_quiet(True)
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    n_timed = int(os.environ.get("BENCH_ITERS", "10"))
+    late_start = int(os.environ.get("BENCH_LATE_START", "30"))
+    recycle_k = int(os.environ.get("BENCH_RECYCLE_K", "8"))
+    forcing = os.environ.get("BENCH_FORCING", "adaptive")
+    smooth_p = os.environ.get("BENCH_SA", "0") == "1"
+    accel = None
+    solver_kw = dict(dtype=dtype, cg_rtol=1e-5, cg_rtol_max=1e-3,
+                     cg_maxiter=2000, cg_recycle_k=recycle_k,
+                     cg_forcing=forcing, amg_smooth_prolongator=smooth_p)
+    if spec == "gripper":
+        from easysimp_tpu.models.gripper import build
+
+        mesh, loads, bcs, params, accel = build(**solver_kw)
+        name = "gripper"
+    else:
+        n = int(spec)
+        from easysimp_tpu.mesh import tet_mesh_from_grid
+
+        grid = et.generate_grid((n, n, n), (0.0, 0.0, 0.0),
+                                (float(n),) * 3)
+        mesh = tet_mesh_from_grid(grid)
+        bcs = [et.apply_fixed_boundary(
+            mesh, et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0],
+                                           1e-6))]
+        loads = [et.PointLoad(
+            et.select_nodes_by_box(mesh, [n, 0, 0], [n, 0, n], 1e-6),
+            [0.0, -1.0, 0.0])]
+        params = et.OptimizationParameters(
+            E0=1.0, Emin=1e-9, nu=0.3, p=3.0, volume_fraction=0.3,
+            filter_radius=1.5, **solver_kw)
+        name = f"tet{n}"
+    log(f"unstructured '{name}': {mesh.n_cells} {mesh.cell_type} cells, "
+        f"{mesh.n_nodes} nodes, {mesh.n_dofs} dofs, dtype {dtype}, "
+        f"recycle_k={recycle_k}, forcing={forcing}, smoothed_P={smooth_p}")
+
+    t0 = time.time()
+    us = build_unstructured_step(mesh, loads, bcs, params, accel)
+    log(f"build (host AMG aggregation etc.): {time.time() - t0:.1f}s")
+    step_jit = jax.jit(us.step)
+    adaptive = forcing == "adaptive"
+
+    def forcing_rtol(change_prev):
+        val = params.cg_rtol_max if change_prev is None else min(
+            params.cg_rtol_max,
+            max(params.cg_rtol, params.cg_forcing_coeff * change_prev))
+        return jnp.asarray(val, dtype=us.dtype)
+
+    design, u = us.design0, us.u0
+    rhist = recycle_init(recycle_k, u) if recycle_k > 1 else None
+    push_jit = jax.jit(recycle_push) if rhist is not None else None
+    rtol_now = forcing_rtol(None) if adaptive else None
+    cgs = []
+
+    def one_step(design, u):
+        nonlocal rhist, rtol_now
+        kw = {}
+        if rhist is not None:
+            kw["recycle"] = rhist
+        if adaptive:
+            kw["rtol"] = rtol_now
+        out = step_jit(design, u, **kw)
+        (new_design, u, phys, energy, volume, change, *_rest) = out
+        cg_iters = out[9]
+        if rhist is not None:
+            rhist = push_jit(rhist, u)
+        if adaptive:
+            rtol_now = forcing_rtol(float(change))
+        cgs.append(int(cg_iters))
+        return new_design, u, float(energy)
+
+    t1 = time.time()
+    design, u, energy = one_step(design, u)
+    jax.block_until_ready(design)
+    compile_s = round(time.time() - t1, 1)
+    log(f"compile+first step: {compile_s}s; energy {energy:.6e} "
+        f"cg {cgs[-1]}")
+    if not np.isfinite(energy):
+        log("FIRST STEP PRODUCED NON-FINITE ENERGY — failing this attempt")
+        sys.exit(3)
+
+    def window(n):
+        t = time.time()
+        nonlocal design, u
+        for _ in range(n):
+            design, u, energy = one_step(design, u)
+        jax.block_until_ready(design)
+        return n / (time.time() - t), energy
+
+    done = 1
+    early_its, energy = window(n_timed)
+    done += n_timed
+    early_cg = cgs[-1]
+    log(f"EARLY: {early_its:.2f} it/s; cg {early_cg}; energy {energy:.6e}")
+    adv_its = None
+    if done < late_start:
+        adv_its, energy = window(late_start - done)
+        done = late_start
+    late_its, energy = window(n_timed)
+    done += n_timed
+    log(f"LATE (from iter {late_start + 1}): {late_its:.2f} it/s; "
+        f"cg {cgs[-1]}; energy {energy:.6e}")
+    if not np.isfinite(energy):
+        log("LATE TRAJECTORY NON-FINITE — failing this attempt")
+        sys.exit(3)
+    total_timed = done - 1
+    spans = [n_timed / early_its, n_timed / late_its]
+    if adv_its is not None:
+        spans.append((late_start - 1 - n_timed) / adv_its)
+    avg_its = total_timed / sum(spans)
+    print(json.dumps({
+        "metric": f"simp_iterations_per_sec_unstructured_{name}",
+        "value": round(avg_its, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(avg_its / 5.0, 3),
+        "avg_its": round(avg_its, 3), "avg_iters_timed": total_timed,
+        "early_its": round(early_its, 3), "early_cg": early_cg,
+        "late_its": round(late_its, 3), "late_cg": cgs[-1],
+        "late_start_iter": late_start, "compile_s": compile_s,
+        "cells": mesh.n_cells, "dofs": mesh.n_dofs,
+        "config": {"recycle_k": recycle_k, "forcing": forcing,
+                   "smoothed_prolongator": smooth_p, "dtype": dtype},
+    }), flush=True)
+    if os.environ.get("BENCH_PHASES", "0") == "1":
+        try:
+            _unstructured_phase_breakdown(us, params, bcs, design)
+        except Exception as e:  # noqa: BLE001 — diagnostics only
+            log(f"phase breakdown aborted: {e}")
+
+
+def _unstructured_phase_breakdown(us, params, bcs, design):
+    """AMG setup / V-cycle / matvec ms at the current (developed) design."""
+    import jax
+    import jax.numpy as jnp
+
+    from easysimp_tpu.bcs import build_free_mask
+    from easysimp_tpu.ops.amg import MultilevelAMG
+
+    op, filt = us.op, us.filt
+    free_mask = jnp.asarray(build_free_mask(us.mesh, bcs), us.dtype)
+    phys = (filt.density_filter(design) if us.use_density_filter
+            else design)
+    scale = jax.jit(op.youngs_modulus)(phys)
+    amg = MultilevelAMG(op, us.mesh, np.asarray(free_mask),
+                        max_coarse_dofs=params.amg_max_coarse_dofs,
+                        smooth_prolongator=params.amg_smooth_prolongator)
+
+    def setup(s):
+        Binv = op.block_diagonal_inverse(s, free_mask)
+        A = lambda v: op.apply(v, s, free_mask)
+        return amg.setup(s, free_mask, Binv, A)
+
+    state = jax.jit(setup)(scale)
+    Binv = jax.jit(op.block_diagonal_inverse)(scale, free_mask)
+    A = lambda v: op.apply(v, scale, free_mask)
+    r = jnp.ones(us.mesh.n_dofs, us.dtype) * free_mask
+    rows = [
+        ("AMG setup (per SIMP iter)", _time_ms(jax.jit(setup), scale,
+                                               reps=5)),
+        ("V-cycle apply (per CG iter)", _time_ms(
+            jax.jit(lambda rr: amg.apply(rr, A, Binv, state, free_mask)),
+            r, reps=10)),
+        ("matvec K@u (per CG iter)", _time_ms(
+            jax.jit(lambda v: op.apply(v, scale, free_mask)), r, reps=10)),
+    ]
+    log("--- unstructured phase breakdown (ms) ---")
+    for nm, ms in rows:
+        log(f"  {nm:>28s}: {ms:8.2f}")
+
+
 def _load_ckpt(path, design0):
     """Load a mid-measurement checkpoint if present and shape-compatible."""
     if not path or not os.path.exists(path):
@@ -932,6 +1127,14 @@ if __name__ == "__main__":
             os.environ["XLA_FLAGS"] = (
                 os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
         run_sharded_evidence(int(os.environ["BENCH_SHARDED"]))
+    elif os.environ.get("BENCH_UNSTRUCTURED"):
+        # unstructured-path timing mode (gripper | N) — opt-in, never the
+        # driver default; runs in-process (rerun manually on a TPU flake).
+        if os.environ.get("BENCH_PLATFORM"):
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+        run_unstructured(os.environ["BENCH_UNSTRUCTURED"])
     elif os.environ.get("BENCH_CHILD") == "1":
         run_measurement()
     else:

@@ -23,7 +23,7 @@ import numpy as np
 
 from .utils.terminal import print_success
 
-__all__ = ["UnstructuredMesh", "import_mesh"]
+__all__ = ["UnstructuredMesh", "import_mesh", "tet_mesh_from_grid"]
 
 # Local face tables (0-based), matching the reference's get_face_nodes
 # (FiniteElementAnalysis.jl:470-479).
@@ -368,3 +368,16 @@ def import_mesh(path) -> UnstructuredMesh:
     if p.endswith(".vtu"):
         return _mesh_from_vtu(p)
     raise ValueError(f"unsupported mesh format: {p} (use .msh or .vtu)")
+
+
+def tet_mesh_from_grid(grid) -> UnstructuredMesh:
+    """Split each voxel of a VoxelGrid into 6 tets — a synthetic genuinely-
+    unstructured mesh at controllable scale (benchmarks, scaling studies).
+    The 6-tet decomposition shares the 0-6 diagonal, so the mesh is
+    conforming; all tets have positive volume in VTK corner order."""
+    conn = grid.hex_connectivity
+    tets = [(0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+            (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6)]
+    tet_conn = np.concatenate([conn[:, list(t)] for t in tets], axis=0)
+    return UnstructuredMesh(node_coords=grid.node_coords,
+                            connectivity=tet_conn)

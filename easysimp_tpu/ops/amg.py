@@ -49,6 +49,8 @@ lax.scan keeps the compiled program constant-size in the term count.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -252,6 +254,20 @@ def _sa_structure(p_rows, p_cols, agg, n_agg, n_fine):
     dL, dR = deg[p_rows], deg[p_cols]
     tcount = dL * dR
     total = int(tcount.sum())
+    # The triple-product term list is the K^2 DATA footprint of smoothed
+    # aggregation (the program size stays constant, the index arrays do
+    # not): several int64 host arrays + 4 int32 device arrays of length
+    # `total`, which on a fine imported mesh reaches hundreds of terms per
+    # node.  Guard before materializing anything so an oversized mesh
+    # fails with a budget message instead of a host/HBM OOM mid-sort.
+    budget = int(os.environ.get("EASYSIMP_SA_TERM_BUDGET", 300_000_000))
+    if total > budget:
+        raise ValueError(
+            f"smoothed-prolongator term list needs {total:,} triple-product "
+            f"entries (> budget {budget:,}; ~{total * 40 / 1e9:.1f} GB host "
+            f"during construction). Use amg_smooth_prolongator=False for "
+            f"this mesh, or raise EASYSIMP_SA_TERM_BUDGET if the host can "
+            f"take it.")
     t_pid = np.repeat(np.arange(p_rows.size, dtype=np.int64), tcount)
     offs = np.concatenate([[0], np.cumsum(tcount)[:-1]])
     k = np.arange(total, dtype=np.int64) - offs[t_pid]
@@ -507,9 +523,14 @@ class MultilevelAMG:
     #     P_s = (I - (4/3) B^-1 A) P_t
     #
     # (Vanek/Mandel/Brezina) restores near-optimal approximation.  B is
-    # the l1 smoother block diagonal already built per level, so
-    # lam_max(B^-1 A) <= 1 EXACTLY and the textbook 4/3 / lam damping
-    # needs no spectral estimation: |1 - (4/3) t| < 1 on (0, 3/2).
+    # the l1 smoother block diagonal already built per level; its exact
+    # bound lam_max(B^-1 A) <= 1 is ~2.5x LOOSE for elasticity (sign
+    # cancellations in the off-block row sums), which leaves omega = 4/3
+    # under-damped — so omega = 4/3 / lam uses a POWER-ITERATION estimate
+    # of lam_max(B^-1 A) per level (_sa_lambda below; safe because any
+    # P_s yields an SPSD A', estimate error only degrades transfer
+    # quality gracefully).  Scaling measurements for both omega choices:
+    # docs/performance_tuning.md "Unstructured AMG" section.
     # Because A changes with the densities, P_s is rebuilt on device each
     # SIMP iteration: the fine operator is assembled once in node-node
     # block-sparse form, Y = A P_t rides a precomputed pair -> (row, agg)

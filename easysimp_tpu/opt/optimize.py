@@ -552,6 +552,16 @@ def simp_optimize(grid, loads, boundary_conditions,
 
     vs = build_voxel_step(grid, loads, boundary_conditions, params,
                           acceleration_data, mesh)
+    # Coarse-to-fine continuation (params.continuation_levels): replace the
+    # uniform initial design with the prolonged result of a half-resolution
+    # run of the same problem (opt/continuation.py).  Resuming a checkpoint
+    # supersedes it — the checkpointed state is already developed.
+    continuation_state = None
+    if params.continuation_levels > 0 and not resume_from:
+        from .continuation import continuation_init
+
+        continuation_state = continuation_init(
+            grid, loads, boundary_conditions, params, acceleration_data)
     # Two programs per iteration (see VoxelStep docstring: the one-program
     # composition faults the TPU next to the fused Pallas kernels).
     solve_part_jit = jax.jit(vs.step_solve)
@@ -580,6 +590,15 @@ def simp_optimize(grid, loads, boundary_conditions,
     op, total_volume, elem_vol = vs.op, vs.total_volume, vs.elem_vol
 
     design, u = vs.design0, vs.u0
+    if continuation_state is not None:
+        design, u = continuation_state
+        design = jnp.asarray(design, dtype=vs.dtype)
+        u = jnp.asarray(u, dtype=vs.dtype)
+        if mesh is not None:
+            from ..parallel.sharding import shard_voxel_state
+
+            (design,), (u,) = shard_voxel_state(
+                mesh, cell_fields=(design,), node_fields=(u,))
     pvecs = vs.pvecs0
     # Subspace-recycled CG (params.cg_recycle_k): ring buffer of the last k
     # solutions, whose deltas deflate the warm-start residual (ops/cg.py).

@@ -170,6 +170,19 @@ class OptimizationParameters:
                                         # engaged on the TPU backend for grids
                                         # that tile, XLA fallback otherwise
 
+    # --- coarse-to-fine continuation (opt/continuation.py; voxel path) ---
+    continuation_levels: int = 0        # >0: run the problem at half
+                                        # resolution per level first and
+                                        # prolong design+u as the fine warm
+                                        # start — the fine trajectory then
+                                        # starts at developed contrast,
+                                        # where warm starts, recycling, and
+                                        # adaptive forcing are all effective
+                                        # (the cold early window is ~2x
+                                        # slower per iteration at 128^3)
+    continuation_iters: int = 40        # SIMP iterations per coarse stage
+                                        # (or params.tolerance, if first)
+
     # --- checkpoint/resume + profiling (capabilities the reference lacks,
     #     SURVEY.md §5.1/§5.4) ---
     checkpoint_interval: int = 0        # save state every N iterations

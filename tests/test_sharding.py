@@ -225,6 +225,31 @@ def test_unstructured_element_sharded_matches(devices):
     np.testing.assert_allclose(res8.densities, res1.densities, atol=1e-9)
 
 
+def test_unstructured_sharded_smoothed_prolongator_matches(devices):
+    """The smoothed-prolongator setup path (elem_nodepair_idx element-
+    sharded when smooth_p; opt/optimize_unstructured.py multichip branch)
+    obeys the repo invariant: sharded results == single-device results."""
+    from easysimp_tpu.parallel.sharding import make_element_mesh
+    from test_unstructured import tet_mesh_from_voxels
+
+    mesh = tet_mesh_from_voxels((4, 2, 2))  # 96 elements % 8 == 0
+    bc = et.apply_fixed_boundary(
+        mesh, et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0], 1e-6))
+    load = et.PointLoad(et.select_nodes_by_box(mesh, [4, 0, 0], [4, 0, 2]),
+                        [0.0, -1.0, 0.0])
+    params = et.OptimizationParameters(
+        E0=100.0, Emin=1e-6, volume_fraction=0.5, max_iterations=3,
+        tolerance=0.01, filter_radius=1.5, dtype="float64", cg_rtol=1e-11,
+        amg_smooth_prolongator=True)
+    res1 = et.simp_optimize(mesh, [load], [bc], params)
+    dm = make_element_mesh(mesh.n_cells, devices=devices)
+    assert dm.devices.size == 8
+    res8 = et.simp_optimize(mesh, [load], [bc], params, mesh=dm)
+    np.testing.assert_allclose(res8.energy_history, res1.energy_history,
+                               rtol=1e-8)
+    np.testing.assert_allclose(res8.densities, res1.densities, atol=1e-9)
+
+
 def test_make_element_mesh_divisibility():
     from easysimp_tpu.parallel.sharding import make_element_mesh
 
