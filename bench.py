@@ -251,7 +251,9 @@ def run_unstructured(spec):
     accel = None
     solver_kw = dict(dtype=dtype, cg_rtol=1e-5, cg_rtol_max=1e-3,
                      cg_maxiter=2000, cg_recycle_k=recycle_k,
-                     cg_forcing=forcing, amg_smooth_prolongator=smooth_p)
+                     cg_forcing=forcing, amg_smooth_prolongator=smooth_p,
+                     amg_max_coarse_dofs=int(
+                         os.environ.get("BENCH_AMG_COARSE", "6000")))
     if spec == "gripper":
         from easysimp_tpu.models.gripper import build
 
@@ -541,12 +543,16 @@ class _Stepper:
             self.update_part = jax.jit(vs.step_update)
             self.rtol_now = None
         self.recycle_k = recycle_k
+        self.recycle_dtype = (jnp.dtype(os.environ["BENCH_RECYCLE_DTYPE"])
+                              if os.environ.get("BENCH_RECYCLE_DTYPE")
+                              else None)
         self.rhist = None
         self.push_jit = None
         if recycle_k > 1:
             from easysimp_tpu.ops.cg import recycle_init, recycle_push
 
-            self.rhist = recycle_init(recycle_k, vs.u0)
+            self.rhist = recycle_init(recycle_k, vs.u0,
+                                      dtype=self.recycle_dtype)
             self.push_jit = jax.jit(recycle_push)
         self.design, self.u, self.pvecs = vs.design0, vs.u0, vs.pvecs0
         self.mg_state = None
@@ -577,7 +583,8 @@ class _Stepper:
         if self.recycle_k > 1:
             from easysimp_tpu.ops.cg import recycle_init
 
-            self.rhist = recycle_init(self.recycle_k, self.u)
+            self.rhist = recycle_init(self.recycle_k, self.u,
+                                      dtype=self.recycle_dtype)
 
     def one_step(self):
         """One full SIMP iteration; returns (energy, cg_iters) device

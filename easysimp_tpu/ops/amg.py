@@ -208,6 +208,26 @@ def _tentative_from_basis(B, agg, n_agg):
     return P, Bc
 
 
+def _highest_precision(fn):
+    """Trace the wrapped body under HIGHEST matmul precision.
+
+    fp32-on-TPU requirement (same class as the voxel path's explicit
+    precision=HIGHEST pins, CLAUDE.md): the MXU's default bf16 multiplies
+    lose the SPD-ness of the AMG's Galerkin assembly chain at elasticity
+    conditioning — the gripper workload NaN'd its coarsest Cholesky on the
+    FIRST step (uniform design) on TPU while the bit-identical CPU run is
+    finite.  The affected einsums are batched small-block contractions, so
+    the multi-pass emulation cost is noise next to the scatter-adds."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 def _unique_pairs(rows, cols, n):
     """Sorted unique (row, col) pair list + inverse index for scatter-adds."""
     key = rows.astype(np.int64) * n + cols.astype(np.int64)
@@ -666,16 +686,32 @@ class MultilevelAMG:
         return jnp.linalg.inv(B)
 
     def _coarsest_factor(self, blocks):
-        """Dense coarsest assembly + regularized Cholesky."""
+        """Dense coarsest assembly + DIAGONALLY-SCALED regularized Cholesky.
+
+        Symmetric diagonal scaling before factorizing, exactly like the
+        voxel path's _scaled_cholesky (ops/multigrid.py): SIMP contrast
+        lives almost entirely in the diagonal, and the raw fp32
+        factorization produces NaNs on TPU where the unit-diagonal scaled
+        one stays finite.  Zero rows (rank-deficient aggregate padding in
+        the RBM basis) get identity pivots; their residuals are exactly
+        zero, so the identity never enters the correction.  Returns
+        (L, dinv_sqrt) with A ~= D^1/2 (L L^T) D^1/2."""
         nL = self.sizes[-1]
         rows, cols = self.pair_rows[-1], self.pair_cols[-1]
         Ac = jnp.zeros((nL, 6, nL, 6), dtype=blocks.dtype)
         Ac = Ac.at[rows, :, cols, :].add(blocks)
         Ac = Ac.reshape(self.nc, self.nc)
         d = jnp.diagonal(Ac)
-        fix = (d <= 1e-30).astype(Ac.dtype)
-        return jax.scipy.linalg.cholesky(Ac + jnp.diag(fix), lower=True)
+        live = d > 1e-30
+        dinv_sqrt = jnp.where(live, 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30)),
+                              1.0)
+        As = Ac * dinv_sqrt[:, None] * dinv_sqrt[None, :]
+        fix = 1.0 - live.astype(Ac.dtype)
+        shift = 100.0 * jnp.finfo(Ac.dtype).eps
+        As = As + (fix + shift) * jnp.eye(self.nc, dtype=Ac.dtype)
+        return (jax.scipy.linalg.cholesky(As, lower=True), dinv_sqrt)
 
+    @_highest_precision
     def setup(self, scale, free_mask, Binv, A):
         """Once per SIMP iteration.  Returns the opaque state pytree for
         `apply`: per-level operator blocks + l1-regularized block-Jacobi
@@ -752,7 +788,9 @@ class MultilevelAMG:
     def _cycle(self, l, state, r):
         """Symmetric V-cycle on coarse level l; r (n_l, 6)."""
         if l == self.n_coarse_levels - 1:
-            zc = jax.scipy.linalg.cho_solve((state["L"], True), r.reshape(-1))
+            L, dinv_sqrt = state["L"]
+            rf = r.reshape(-1) * dinv_sqrt
+            zc = dinv_sqrt * jax.scipy.linalg.cho_solve((L, True), rf)
             return zc.reshape(r.shape)
         blocks = state["blocks"][l]
         Binv = state["Binvs"][l]
@@ -778,6 +816,7 @@ class MultilevelAMG:
             z = z + jnp.einsum("nki,ni->nk", P, zc[self.agg_coarse[l]])
         return self._chebyshev(Bapply, Aapply, r, z, deg)
 
+    @_highest_precision
     def apply(self, r, A, Binv, state, free_mask):
         """Symmetric multilevel cycle: Chebyshev l1-block-Jacobi
         pre-smooth, recursive coarse correction, matching post-smooth.

@@ -25,25 +25,37 @@ __all__ = ["CGResult", "cg_solve", "recycle_init", "recycle_push",
 
 # --- subspace-recycling ring buffer (shared by the voxel/unstructured
 # drivers and bench.py so the three call sites cannot diverge) ----------
-def recycle_init(k, u):
+def recycle_init(k, u, dtype=None):
     """(k, *u.shape) ring buffer seeded with the current warm start in
     slot 0 (zeros elsewhere — rank-deficiency is handled by the ridge in
-    `cg_solve`'s deflation)."""
-    return jnp.zeros((k, *u.shape), u.dtype).at[0].set(u)
+    `cg_solve`'s deflation).
+
+    dtype: optional narrow STORAGE dtype for the ring (e.g. bfloat16).
+    The ring is k node fields — 4.7 GB fp32 at 256^3 with k=8, which
+    RESOURCE_EXHAUSTs the 16 GB HBM next to the Galerkin hierarchy
+    (PHASES_r04).  The basis only selects a deflation subspace (the
+    Galerkin projection in `cg_solve` uses the exact operator, with a
+    ridge), so storage rounding degrades deflation quality gracefully,
+    never correctness."""
+    return jnp.zeros((k, *u.shape), dtype or u.dtype).at[0].set(
+        u.astype(dtype) if dtype else u)
 
 
 def recycle_push(H, u_new):
-    """Shift the ring: newest solution first, oldest dropped."""
-    return jnp.concatenate([u_new[None], H[:-1]])
+    """Shift the ring: newest solution first, oldest dropped (cast to the
+    ring's storage dtype)."""
+    return jnp.concatenate([u_new.astype(H.dtype)[None], H[:-1]])
 
 
 def recycle_deflate(free_mask, recycle):
     """Deflation basis from the ring buffer: deltas of recent solutions
     against the newest one (== the warm start) — the directions the
-    design evolution keeps re-exciting."""
+    design evolution keeps re-exciting.  Upcast to the mask dtype so the
+    Gram/projection math runs full precision even off a narrow ring."""
     if recycle is None:
         return None
-    return (recycle[1:] - recycle[:1]) * free_mask
+    return (recycle[1:].astype(free_mask.dtype)
+            - recycle[:1].astype(free_mask.dtype)) * free_mask
 
 
 class CGResult(NamedTuple):

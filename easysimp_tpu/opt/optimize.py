@@ -608,8 +608,10 @@ def simp_optimize(grid, loads, boundary_conditions,
     recycle_k = params.cg_recycle_k
     rhist = None
     push_jit = None
+    recycle_dtype = (jnp.dtype(params.cg_recycle_dtype)
+                     if params.cg_recycle_dtype else None)
     if recycle_k > 1:
-        rhist = recycle_init(recycle_k, u)
+        rhist = recycle_init(recycle_k, u, dtype=recycle_dtype)
         push_jit = jax.jit(recycle_push)
     # Adaptive CG forcing (inexact SIMP, params.cg_forcing): the solve only
     # feeds sensitivities into a move-limited OC update, so its tolerance is
@@ -671,11 +673,12 @@ def simp_optimize(grid, loads, boundary_conditions,
 
                     _, slots = shard_voxel_state(
                         mesh, cell_fields=(), node_fields=tuple(slots))
-                rhist = jnp.stack(list(slots))
+                rhist = jnp.stack(list(slots)).astype(
+                    recycle_dtype or vs.dtype)
             else:
                 # checkpoint predates recycling (or different k): seed the
                 # buffer with the restored warm start.
-                rhist = recycle_init(recycle_k, u)
+                rhist = recycle_init(recycle_k, u, dtype=recycle_dtype)
     if adaptive_forcing and change_history:
         # resumed runs restart the forcing schedule from the restored change
         rtol_now = _forcing_rtol(change_history[-1])

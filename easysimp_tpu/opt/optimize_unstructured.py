@@ -299,8 +299,10 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     # the buffer is mesh-compatible as-is.
     rhist = None
     push_jit = None
+    recycle_dtype = (jnp.dtype(params.cg_recycle_dtype)
+                      if params.cg_recycle_dtype else None)
     if params.cg_recycle_k > 1:
-        rhist = recycle_init(params.cg_recycle_k, u)
+        rhist = recycle_init(params.cg_recycle_k, u, dtype=recycle_dtype)
         push_jit = jax.jit(recycle_push)
     # Adaptive CG forcing (inexact SIMP) — same schedule as the voxel
     # driver (see optimize.py): rtol rides in as a device scalar.
@@ -337,11 +339,13 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
             saved_rec = state.get("recycle")
             if saved_rec is not None and \
                     saved_rec.shape[0] == params.cg_recycle_k:
-                rhist = jnp.asarray(saved_rec, dtype=us.dtype)
+                rhist = jnp.asarray(saved_rec,
+                                    dtype=recycle_dtype or us.dtype)
             else:
                 # checkpoint predates recycling (or different k): seed the
                 # buffer with the restored warm start.
-                rhist = recycle_init(params.cg_recycle_k, u)
+                rhist = recycle_init(params.cg_recycle_k, u,
+                                     dtype=recycle_dtype)
 
     if adaptive_forcing and change_history:
         # resumed runs restart the forcing schedule from the restored change

@@ -72,6 +72,11 @@ class OptimizationParameters:
                                         # iteration; deflates the low modes
                                         # the design evolution re-excites.
                                         # 0 = off (reference-equivalent)
+    cg_recycle_dtype: str = ""          # STORAGE dtype of the recycle ring
+                                        # ("bfloat16" halves its HBM: k
+                                        # node fields, 4.7 GB fp32 at
+                                        # 256^3 k=8).  Deflation math
+                                        # upcasts; "" = operator dtype
     cg_forcing: str = "fixed"           # "fixed" | "adaptive" (inexact SIMP).
                                         # Adaptive ties the per-iteration CG
                                         # tolerance to how fast the design is

@@ -276,6 +276,30 @@ def test_cg_recycle_trajectory_matches():
         sum(res0.cg_iterations_history) + len(res0.cg_iterations_history)
 
 
+def test_cg_recycle_bf16_ring_matches():
+    """A bfloat16-STORED recycle ring (cg_recycle_dtype) only degrades the
+    deflation basis — the Galerkin projection upcasts and CG still solves
+    to cg_rtol, so the trajectory must agree with the fp-ring run to
+    solver tolerance.  (The narrow ring is the 256^3 memory fix: k node
+    fields are 4.7 GB fp32 at 51M dofs.)"""
+    grid, bc, load, params = build_cantilever((10, 6, 4), max_iter=6)
+
+    def run(ring_dtype):
+        p = et.OptimizationParameters(
+            **{**params.__dict__, "preconditioner": "multigrid",
+               "cg_rtol": 1e-12, "cg_recycle_k": 4,
+               "cg_recycle_dtype": ring_dtype})
+        return et.simp_optimize(grid, [load], [bc], p)
+
+    res_full = run("")
+    res_bf16 = run("bfloat16")
+    np.testing.assert_allclose(res_bf16.energy_history,
+                               res_full.energy_history, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_bf16.densities),
+                               np.asarray(res_full.densities),
+                               rtol=1e-7, atol=1e-9)
+
+
 def test_adaptive_forcing_tight_setting_degenerates_to_fixed():
     """cg_forcing='adaptive' with cg_rtol_max == cg_rtol is the fixed
     schedule (the rtol merely rides in as a device scalar instead of a
