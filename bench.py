@@ -285,6 +285,16 @@ def run_unstructured(spec):
     log(f"build (host AMG aggregation etc.): {time.time() - t0:.1f}s")
     step_jit = jax.jit(us.step)
     adaptive = forcing == "adaptive"
+    # Three-program split by default (setup | AMG-CG | update), matching
+    # the library driver's TPU path: the one-program composition at tet44
+    # (511k elements) broke the tunnel's remote-compile transport outright.
+    use_split = (us.step_setup is not None
+                 and os.environ.get("BENCH_SPLIT3", "1") == "1")
+    if use_split:
+        setup_jit = jax.jit(us.step_setup)
+        cgp_jit = jax.jit(us.step_cg)
+        upd_jit = jax.jit(us.step_update)
+        log("using three-program step split (setup | cg | update)")
 
     def forcing_rtol(change_prev):
         val = params.cg_rtol_max if change_prev is None else min(
@@ -297,17 +307,29 @@ def run_unstructured(spec):
     push_jit = jax.jit(recycle_push) if rhist is not None else None
     rtol_now = forcing_rtol(None) if adaptive else None
     cgs = []
+    first_exec = True
 
     def one_step(design, u):
-        nonlocal rhist, rtol_now
+        nonlocal rhist, rtol_now, first_exec
         kw = {}
         if rhist is not None:
             kw["recycle"] = rhist
         if adaptive:
             kw["rtol"] = rtol_now
-        out = step_jit(design, u, **kw)
-        (new_design, u, phys, energy, volume, change, *_rest) = out
-        cg_iters = out[9]
+        if use_split:
+            phys, amg_state = setup_jit(design)
+            if first_exec:
+                jax.block_until_ready(amg_state)
+            u, energy, volume, cg_iters, _res = cgp_jit(
+                design, phys, amg_state, u, **kw)
+            if first_exec:
+                jax.block_until_ready(u)
+            (new_design, change, *_rest) = upd_jit(design, phys, u)
+        else:
+            out = step_jit(design, u, **kw)
+            (new_design, u, phys, energy, volume, change, *_rest) = out
+            cg_iters = out[9]
+        first_exec = False
         if rhist is not None:
             rhist = push_jit(rhist, u)
         if adaptive:

@@ -44,7 +44,8 @@ def _resolve_dtype(params):
 class UnstructuredStep:
     def __init__(self, mesh, op, filt, step, solve, design0, u0,
                  element_volumes, total_volume, dtype, use_density_filter,
-                 shape_integrals, element_energy):
+                 shape_integrals, element_energy, step_setup=None,
+                 step_cg=None, step_update=None):
         self.mesh = mesh
         self.op = op
         self.filt = filt
@@ -58,6 +59,22 @@ class UnstructuredStep:
         self.use_density_filter = use_density_filter
         self.shape_integrals = shape_integrals
         self.element_energy = element_energy
+        # OPTIONAL three-program split of `step` for the tunnel TPU,
+        # mirroring the voxel path (opt/optimize.py VoxelStep): the
+        # one-program composition at >=5e5 elements is too large for the
+        # remote-compile relay (round 5: tet44 broke the transport with
+        # "Broken pipe" mid-compile), and smaller programs are the
+        # established fault mitigation (memory/tpu-env-gotchas.md).
+        # step_setup(design) -> (phys, amg_state)
+        # step_cg(design, phys, amg_state, u_prev, recycle=, rtol=)
+        #     -> (u, energy, volume, cg_iters, cg_res)
+        # step_update(design, phys, u)
+        #     -> (new_design, change, lam, grayness, max_disp,
+        #         bisect_iters, bisect_verr, frac_neg, max_abs, fsens)
+        # None when the preconditioner is stateless (jacobi/block_jacobi).
+        self.step_setup = step_setup
+        self.step_cg = step_cg
+        self.step_update = step_update
 
 
 def build_unstructured_step(mesh, loads, boundary_conditions,
@@ -218,10 +235,10 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
         volume = jnp.sum(phys * element_volumes)
         return phys, sol, energy, volume
 
-    def step(design, u_prev, recycle=None, rtol=None):
-        phys, sol, energy, volume = forward(design, u_prev, recycle=recycle,
-                                            rtol=rtol)
-        u = sol.u
+    def _update_core(design, phys, u):
+        """Sensitivities -> filter -> OC -> convergence metrics (the
+        post-solve half of the iteration; shared by `step` and the split
+        `step_update` program)."""
         if material_model is None:
             sens = op.compliance_sensitivities(u, phys)
         else:
@@ -248,9 +265,54 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
             jnp.logical_and(phys > 0.1, phys < 0.9).astype(dtype))
         max_disp = jnp.max(jnp.abs(u))
         frac_neg, mean_abs, max_abs = sensitivity_health(fsens)
+        return (new_design, change, lam, grayness, max_disp, bisect_iters,
+                bisect_verr, frac_neg, max_abs, fsens)
+
+    def step(design, u_prev, recycle=None, rtol=None):
+        phys, sol, energy, volume = forward(design, u_prev, recycle=recycle,
+                                            rtol=rtol)
+        u = sol.u
+        (new_design, change, lam, grayness, max_disp, bisect_iters,
+         bisect_verr, frac_neg, max_abs, fsens) = _update_core(design, phys,
+                                                               u)
         return (new_design, u, phys, energy, volume, change, lam, grayness,
                 max_disp, sol.iterations, sol.residual_norm, bisect_iters,
                 bisect_verr, frac_neg, max_abs, fsens)
+
+    def step_setup(design):
+        """Program 1 of the OPTIONAL three-program iteration: filter +
+        per-SIMP-iteration AMG setup (device-assembled Galerkin levels, l1
+        smoother inverses, coarsest Cholesky) as its OWN program."""
+        phys = filt.density_filter(design) if use_density_filter else design
+        scale = _precond_scale(phys)
+        Binv = op.block_diagonal_inverse(scale, free_mask)
+        if material_model is None:
+            A = lambda v: op.apply(v, scale, free_mask)
+        else:
+            lam_f, mu_f = material_model(phys)
+            A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
+        return phys, amg.setup(scale, free_mask, Binv, A)
+
+    def step_cg(design, phys, amg_state, u_prev, recycle=None, rtol=None):
+        """Program 2: the AMG-CG solve on a prebuilt preconditioner state.
+        step_setup + step_cg + step_update == step (tested)."""
+        scale = _precond_scale(phys)
+        f = f_ext if shape_integrals is None else f_ext + body_force(phys)
+        f_bc = f * free_mask
+        if material_model is None:
+            A = lambda v: op.apply(v, scale, free_mask)
+        else:
+            lam_f, mu_f = material_model(phys)
+            A = lambda v: op.apply_lame(v, lam_f, mu_f, free_mask)
+        Binv = op.block_diagonal_inverse(scale, free_mask)
+        M = lambda r: amg.apply(r, A, Binv, amg_state, free_mask)
+        sol = cg_solve(A, f_bc, x0=u_prev * free_mask, M=M,
+                       rtol=params.cg_rtol if rtol is None else rtol,
+                       maxiter=params.cg_maxiter,
+                       deflate=recycle_deflate(free_mask, recycle))
+        energy = 0.5 * (jnp.vdot(sol.u, f_bc) - sol.u_dot_r)
+        volume = jnp.sum(phys * element_volumes)
+        return sol.u, energy, volume, sol.iterations, sol.residual_norm
 
     def solve_only(design):
         phys, sol, energy, _ = forward(design, jnp.zeros_like(u0))
@@ -267,7 +329,10 @@ def build_unstructured_step(mesh, loads, boundary_conditions,
     return UnstructuredStep(mesh, op, filt, step, solve_only, design0, u0,
                             element_volumes, total_volume, dtype,
                             use_density_filter, shape_integrals,
-                            element_energy)
+                            element_energy,
+                            step_setup=step_setup if use_amg else None,
+                            step_cg=step_cg if use_amg else None,
+                            step_update=_update_core if use_amg else None)
 
 
 def simp_optimize_unstructured(mesh, loads, boundary_conditions,
@@ -290,6 +355,18 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
                                  acceleration_data, device_mesh=device_mesh)
     step_jit = jax.jit(us.step)
     solve_jit = jax.jit(us.solve)
+    # Three programs per iteration on the real TPU (setup | AMG-CG |
+    # update), mirroring the voxel driver: the one-program composition at
+    # >= 5e5 elements overflows the tunnel's remote-compile transport and
+    # large single programs are the established fault class
+    # (memory/tpu-env-gotchas.md).  CPU keeps the one-program form, whose
+    # equivalence to the split is tested (tests/test_unstructured.py).
+    use_split = (us.step_setup is not None
+                 and jax.default_backend() == "tpu")
+    if use_split:
+        setup_jit = jax.jit(us.step_setup)
+        cg_solve_jit = jax.jit(us.step_cg)
+        update_jit = jax.jit(us.step_update)
     total_volume = us.total_volume
 
     design, u = us.design0, us.u0
@@ -377,9 +454,24 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
             step_kw["recycle"] = rhist
         if adaptive_forcing:
             step_kw["rtol"] = rtol_now
-        (new_design, u, phys, energy, volume, change, lam, grayness,
-         max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg,
-         max_abs, fsens) = step_jit(design, u, **step_kw)
+        if use_split:
+            phys, amg_state = setup_jit(design)
+            if it == start_iteration:
+                # drain each program before loading the next on the first
+                # pass (the first-execution flake mitigation, see the
+                # voxel driver)
+                jax.block_until_ready(amg_state)
+            u, energy, volume, cg_iters, _ = cg_solve_jit(
+                design, phys, amg_state, u, **step_kw)
+            if it == start_iteration:
+                jax.block_until_ready(u)
+            (new_design, change, lam, grayness, max_disp, bisect_iters,
+             bisect_verr, frac_neg, max_abs, fsens) = update_jit(
+                design, phys, u)
+        else:
+            (new_design, u, phys, energy, volume, change, lam, grayness,
+             max_disp, cg_iters, _, bisect_iters, bisect_verr, frac_neg,
+             max_abs, fsens) = step_jit(design, u, **step_kw)
         if rhist is not None:
             rhist = push_jit(rhist, u)
 

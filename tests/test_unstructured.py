@@ -184,3 +184,43 @@ class TestUnstructuredTrajectory:
                                   lambda x, y, z: [0.0, x, 0.0])
         # integral of x over [0,2]x[0,1] = 2
         np.testing.assert_allclose(f.sum(axis=0), [0, 2.0, 0], rtol=1e-12)
+
+
+def test_unstructured_split_programs_match_step():
+    """step_setup + step_cg + step_update == the one-program step (the
+    TPU three-program split; same contract as the voxel path's
+    test_step_precond_cg_split_matches_step_solve)."""
+    import jax
+    import jax.numpy as jnp
+    from easysimp_tpu.opt.optimize_unstructured import \
+        build_unstructured_step
+
+    mesh = tet_mesh_from_voxels((4, 2, 2))
+    bc = et.apply_fixed_boundary(
+        mesh, et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0], 1e-6))
+    load = et.PointLoad(et.select_nodes_by_box(mesh, [4, 0, 0], [4, 0, 2]),
+                        [0.0, -1.0, 0.0])
+    params = et.OptimizationParameters(
+        E0=100.0, Emin=1e-6, volume_fraction=0.5, filter_radius=1.5,
+        dtype="float64", cg_rtol=1e-10)
+    us = build_unstructured_step(mesh, [load], [bc], params)
+    assert us.step_setup is not None
+
+    design = us.design0 * (1.0 + 0.3 * jnp.sin(
+        jnp.arange(mesh.n_cells, dtype=us.dtype)))
+    design = jnp.clip(design, 0.05, 1.0)
+    out_one = jax.jit(us.step)(design, us.u0)
+
+    phys, amg_state = jax.jit(us.step_setup)(design)
+    u, energy, volume, cg_iters, _ = jax.jit(us.step_cg)(
+        design, phys, amg_state, us.u0)
+    upd = jax.jit(us.step_update)(design, phys, u)
+
+    np.testing.assert_allclose(np.asarray(phys), np.asarray(out_one[2]),
+                               rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(out_one[1]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(energy), float(out_one[3]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(upd[0]), np.asarray(out_one[0]),
+                               rtol=1e-9, atol=1e-12)  # new_design
+    assert int(cg_iters) == int(out_one[9])
