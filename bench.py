@@ -290,11 +290,6 @@ def run_unstructured(spec):
     # (511k elements) broke the tunnel's remote-compile transport outright.
     use_split = (us.step_setup is not None
                  and os.environ.get("BENCH_SPLIT3", "1") == "1")
-    if use_split:
-        setup_jit = jax.jit(us.step_setup)
-        cgp_jit = jax.jit(us.step_cg)
-        upd_jit = jax.jit(us.step_update)
-        log("using three-program step split (setup | cg | update)")
 
     def forcing_rtol(change_prev):
         val = params.cg_rtol_max if change_prev is None else min(
@@ -306,6 +301,42 @@ def run_unstructured(spec):
     rhist = recycle_init(recycle_k, u) if recycle_k > 1 else None
     push_jit = jax.jit(recycle_push) if rhist is not None else None
     rtol_now = forcing_rtol(None) if adaptive else None
+    if use_split:
+        # Hoist the mesh-sized closure constants (ke, connectivity, AMG
+        # structures) into runtime arguments — embedded as HLO literals
+        # they overflow the tunnel relay's request cap at >= 5e5 elements
+        # (tet44: HTTP 413 on the setup program).  See utils/hoist.py and
+        # the identical wiring in opt/optimize_unstructured.py.
+        from easysimp_tpu.utils.hoist import hoist_constants
+
+        setup_h, setup_c, setup_shape = hoist_constants(us.step_setup,
+                                                        design)
+        _setup_jit = jax.jit(setup_h)
+        phys_shape, state_shape = setup_shape
+        extra_names, extra_ex = [], []
+        if rhist is not None:
+            extra_names.append("recycle")
+            extra_ex.append(rhist)
+        if adaptive:
+            extra_names.append("rtol")
+            extra_ex.append(rtol_now)
+
+        def _cg_fn(design, phys, state, u_prev, *extras):
+            return us.step_cg(design, phys, state, u_prev,
+                              **dict(zip(extra_names, extras)))
+
+        cg_h, cg_c, _ = hoist_constants(_cg_fn, design, phys_shape,
+                                        state_shape, u, *extra_ex)
+        _cg_jit = jax.jit(cg_h)
+        upd_h, upd_c, _ = hoist_constants(us.step_update, design,
+                                          phys_shape, u)
+        _upd_jit = jax.jit(upd_h)
+        setup_jit = lambda d: _setup_jit(setup_c, d)
+        cgp_jit = lambda d, p, s, uu, **kw: _cg_jit(
+            cg_c, d, p, s, uu, *[kw[n] for n in extra_names])
+        upd_jit = lambda d, p, uu: _upd_jit(upd_c, d, p, uu)
+        log("using three-program step split (setup | cg | update), "
+            "closure constants hoisted")
     cgs = []
     first_exec = True
 
@@ -418,18 +449,27 @@ def _unstructured_phase_breakdown(us, params, bcs, design):
         A = lambda v: op.apply(v, s, free_mask)
         return amg.setup(s, free_mask, Binv, A)
 
-    state = jax.jit(setup)(scale)
+    # hoist the mesh-sized closures (ke/connectivity/AMG structures/state)
+    # out of each timed program — as HLO literals they overflow the relay
+    # request cap at tet44 scale (see utils/hoist.py)
+    from easysimp_tpu.utils.hoist import hoist_constants
+
+    setup_h, setup_c, _ = hoist_constants(setup, scale)
+    setup_jit = lambda s: jax.jit(setup_h)(setup_c, s)
+    state = setup_jit(scale)
     Binv = jax.jit(op.block_diagonal_inverse)(scale, free_mask)
     A = lambda v: op.apply(v, scale, free_mask)
     r = jnp.ones(us.mesh.n_dofs, us.dtype) * free_mask
+    vc_h, vc_c, _ = hoist_constants(
+        lambda rr: amg.apply(rr, A, Binv, state, free_mask), r)
+    mv_h, mv_c, _ = hoist_constants(
+        lambda v: op.apply(v, scale, free_mask), r)
     rows = [
-        ("AMG setup (per SIMP iter)", _time_ms(jax.jit(setup), scale,
-                                               reps=5)),
+        ("AMG setup (per SIMP iter)", _time_ms(setup_jit, scale, reps=5)),
         ("V-cycle apply (per CG iter)", _time_ms(
-            jax.jit(lambda rr: amg.apply(rr, A, Binv, state, free_mask)),
-            r, reps=10)),
+            lambda rr: jax.jit(vc_h)(vc_c, rr), r, reps=10)),
         ("matvec K@u (per CG iter)", _time_ms(
-            jax.jit(lambda v: op.apply(v, scale, free_mask)), r, reps=10)),
+            lambda v: jax.jit(mv_h)(mv_c, v), r, reps=10)),
     ]
     log("--- unstructured phase breakdown (ms) ---")
     for nm, ms in rows:

@@ -361,12 +361,14 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     # large single programs are the established fault class
     # (memory/tpu-env-gotchas.md).  CPU keeps the one-program form, whose
     # equivalence to the split is tested (tests/test_unstructured.py).
+    import os as _os
+
     use_split = (us.step_setup is not None
-                 and jax.default_backend() == "tpu")
-    if use_split:
-        setup_jit = jax.jit(us.step_setup)
-        cg_solve_jit = jax.jit(us.step_cg)
-        update_jit = jax.jit(us.step_update)
+                 and (jax.default_backend() == "tpu"
+                      # test/debug escape hatch: exercise the TPU split
+                      # wiring on the CPU backend
+                      or _os.environ.get(
+                          "EASYSIMP_UNSTRUCTURED_SPLIT3") == "1"))
     total_volume = us.total_volume
 
     design, u = us.design0, us.u0
@@ -427,6 +429,49 @@ def simp_optimize_unstructured(mesh, loads, boundary_conditions,
     if adaptive_forcing and change_history:
         # resumed runs restart the forcing schedule from the restored change
         rtol_now = _forcing_rtol(change_history[-1])
+
+    if use_split:
+        # Hoist the mesh-sized closure constants (per-element ke,
+        # connectivity, AMG structure arrays) out of the split programs:
+        # embedded as HLO literals they overflow the tunnel relay's
+        # request cap at >= 5e5 elements (tet44: "HTTP 413: length limit
+        # exceeded" on the setup program alone) — see utils/hoist.py.
+        # The consts ride as runtime arguments, shared by reference
+        # across the three executables.
+        from ..utils.hoist import hoist_constants
+
+        setup_h, setup_c, setup_shape = hoist_constants(us.step_setup,
+                                                        design)
+        _setup_jit = jax.jit(setup_h)
+        phys_shape, state_shape = setup_shape
+        extra_names, extra_ex = [], []
+        if rhist is not None:
+            extra_names.append("recycle")
+            extra_ex.append(rhist)
+        if adaptive_forcing:
+            extra_names.append("rtol")
+            extra_ex.append(rtol_now)
+
+        def _cg_fn(design, phys, state, u_prev, *extras):
+            return us.step_cg(design, phys, state, u_prev,
+                              **dict(zip(extra_names, extras)))
+
+        cg_h, cg_c, _ = hoist_constants(_cg_fn, design, phys_shape,
+                                        state_shape, u, *extra_ex)
+        _cg_jit = jax.jit(cg_h)
+        upd_h, upd_c, _ = hoist_constants(us.step_update, design,
+                                          phys_shape, u)
+        _upd_jit = jax.jit(upd_h)
+
+        def setup_jit(design):
+            return _setup_jit(setup_c, design)
+
+        def cg_solve_jit(design, phys, state, u_prev, **kw):
+            return _cg_jit(cg_c, design, phys, state, u_prev,
+                           *[kw[n] for n in extra_names])
+
+        def update_jit(design, phys, u):
+            return _upd_jit(upd_c, design, phys, u)
 
     def _maybe_save_checkpoint(it, design, u):
         if params.checkpoint_interval > 0 and params.checkpoint_path and \

@@ -224,3 +224,66 @@ def test_unstructured_split_programs_match_step():
     np.testing.assert_allclose(np.asarray(upd[0]), np.asarray(out_one[0]),
                                rtol=1e-9, atol=1e-12)  # new_design
     assert int(cg_iters) == int(out_one[9])
+
+
+def test_unstructured_split_hoisted_constants_match_step():
+    """The driver's TPU wiring of the split — closure constants hoisted
+    into runtime arguments (utils/hoist.py) — must equal the one-program
+    step.  Embedded as HLO literals the per-element ke/connectivity/AMG
+    arrays overflow the tunnel relay's request cap at >= 5e5 elements
+    (tet44: HTTP 413 on the setup program)."""
+    import jax
+    import jax.numpy as jnp
+    from easysimp_tpu.opt.optimize_unstructured import \
+        build_unstructured_step
+    from easysimp_tpu.ops.cg import recycle_init
+    from easysimp_tpu.utils.hoist import hoist_constants
+
+    mesh = tet_mesh_from_voxels((4, 2, 2))
+    bc = et.apply_fixed_boundary(
+        mesh, et.select_nodes_by_plane(mesh, [0, 0, 0], [1, 0, 0], 1e-6))
+    load = et.PointLoad(et.select_nodes_by_box(mesh, [4, 0, 0], [4, 0, 2]),
+                        [0.0, -1.0, 0.0])
+    params = et.OptimizationParameters(
+        E0=100.0, Emin=1e-6, volume_fraction=0.5, filter_radius=1.5,
+        dtype="float64", cg_rtol=1e-10, cg_recycle_k=4)
+    us = build_unstructured_step(mesh, [load], [bc], params)
+    design = us.design0
+    rhist = recycle_init(4, us.u0)
+    rtol = jnp.asarray(1e-10, us.dtype)
+
+    out_one = jax.jit(us.step)(design, us.u0, recycle=rhist, rtol=rtol)
+
+    setup_h, setup_c, (phys_shape, state_shape) = hoist_constants(
+        us.step_setup, design)
+    assert len(setup_c) > 0  # the closures really do hold array constants
+    phys, state = jax.jit(setup_h)(setup_c, design)
+
+    def cg_fn(design, phys, state, u_prev, recycle, rtol):
+        return us.step_cg(design, phys, state, u_prev, recycle=recycle,
+                          rtol=rtol)
+
+    cg_h, cg_c, _ = hoist_constants(cg_fn, design, phys_shape, state_shape,
+                                    us.u0, rhist, rtol)
+    u, energy, volume, cg_iters, _ = jax.jit(cg_h)(
+        cg_c, design, phys, state, us.u0, rhist, rtol)
+    upd_h, upd_c, _ = hoist_constants(us.step_update, design, phys_shape,
+                                      us.u0)
+    upd = jax.jit(upd_h)(upd_c, design, phys, u)
+
+    np.testing.assert_allclose(np.asarray(phys), np.asarray(out_one[2]),
+                               rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(out_one[1]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(energy), float(out_one[3]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(upd[0]), np.asarray(out_one[0]),
+                               rtol=1e-9, atol=1e-12)
+    assert int(cg_iters) == int(out_one[9])
+
+    # the hoisted lowering must not embed the mesh-sized constants
+    hoisted = jax.jit(setup_h).lower(setup_c, design).compiler_ir(
+        dialect="hlo").as_serialized_hlo_module_proto()
+    embedded = jax.jit(us.step_setup).lower(design).compiler_ir(
+        dialect="hlo").as_serialized_hlo_module_proto()
+    const_bytes = sum(c.size * c.dtype.itemsize for c in setup_c)
+    assert len(hoisted) < len(embedded) - 0.5 * const_bytes
