@@ -580,9 +580,18 @@ class _Stepper:
         self.solve_part = jax.jit(vs.step_solve)
         self.use_split3 = (os.environ.get("BENCH_SPLIT3", "1") == "1"
                            and getattr(vs, "step_precond", None) is not None)
+        # Partial-refresh cadence (BENCH_FULL_SETUP_EVERY, mirrors
+        # params.mg_full_setup_every): full MG setup every k iterations,
+        # fine-half-only refresh in between (setup_light).
+        self.full_every = int(os.environ.get("BENCH_FULL_SETUP_EVERY", "1"))
         if self.use_split3:
             self.pre_part = jax.jit(vs.step_precond)
             self.cg_part = jax.jit(vs.step_cg)
+            self.pre_light = (
+                jax.jit(vs.step_precond_light)
+                if self.full_every > 1
+                and getattr(vs, "step_precond_light", None) is not None
+                else None)
         self.phys_fn = (jax.jit(vs.filt.density_filter)
                         if vs.use_density_filter else None)
         if adaptive:
@@ -619,6 +628,7 @@ class _Stepper:
         self.design, self.u, self.pvecs = vs.design0, vs.u0, vs.pvecs0
         self.mg_state = None
         self.steps_since_setup = 0
+        self.steps_since_full = 0
         self.cg_baseline = None
         self.last_cg = None
         self.pending_cg = None
@@ -680,14 +690,27 @@ class _Stepper:
                                                self.cg_baseline + 3))
             if self.mg_state is None or degraded \
                     or self.steps_since_setup >= self.setup_every:
-                phys, self.mg_state, self.pvecs = self.pre_part(
-                    self.design, self.pvecs, free_mask)
+                # partial-refresh cadence: light (fine-half) setup unless
+                # the full cadence expired, CG degraded, or no state yet;
+                # the watchdog baseline pins to the last FULL setup
+                use_light = (self.pre_light is not None
+                             and self.mg_state is not None
+                             and not degraded
+                             and self.steps_since_full < self.full_every)
+                if use_light:
+                    phys, self.mg_state, self.pvecs = self.pre_light(
+                        self.design, self.pvecs, free_mask, self.mg_state)
+                else:
+                    phys, self.mg_state, self.pvecs = self.pre_part(
+                        self.design, self.pvecs, free_mask)
+                    self.steps_since_full = 0
+                    self.cg_baseline = None
                 self.steps_since_setup = 0
-                self.cg_baseline = None
             else:
                 phys = (self.phys_fn(self.design)
                         if self.phys_fn is not None else self.design)
             self.steps_since_setup += 1
+            self.steps_since_full += 1
             if self.first_exec:
                 jax.block_until_ready(self.pvecs)
             u, energy, volume, cg_iters, cg_res = self.cg_part(
@@ -938,6 +961,7 @@ def run_measurement():
                        "smooth": params.mg_smooth_iters,
                        "cycle": params.mg_cycle, "recycle_k": recycle_k,
                        "forcing": forcing, "setup_every": setup_every,
+                       "full_setup_every": st.full_every,
                        "rtol_max": params.cg_rtol_max},
         }
 

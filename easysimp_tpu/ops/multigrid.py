@@ -522,6 +522,74 @@ class MultigridPreconditioner:
                                  for s in state["stencils"]]
         return state, tuple(new_vecs)
 
+    @property
+    def supports_light_setup(self) -> bool:
+        """setup_light needs a Galerkin hierarchy with a direct level-1
+        build, deeper levels to actually reuse, and the power-iteration
+        smoother bound (the Gershgorin path has no carried state)."""
+        return (self.galerkin and self.n_levels >= 3
+                and 1 in getattr(self, "_Gs", {}) and self.power_iters > 0)
+
+    def setup_light(self, scale, free_mask, power_vectors, prev_state):
+        """PARTIAL per-SIMP-iteration setup (params.mg_full_setup_every):
+        rebuild only what tracks the moving design at full resolution —
+        the fine-level diagonal/lambda and the level-1 Galerkin stencil —
+        and REUSE the deeper stencils, their smoother data, and the
+        coarsest Cholesky from the last full `setup`'s state.
+
+        Why this is sound where mg_setup_every>1 (reuse EVERYTHING) was
+        measured catastrophic: there the fine-level smoother data went
+        stale against the fresh CG operator A, a mismatch at the level
+        that does all the work.  Here levels 0-1 stay exactly fresh; only
+        the coarse-grid CORRECTION uses slightly stale operators, and
+        under the 0.2 OC move limit the deep Galerkin coefficients (each
+        an 8x-coarsened average of the modulus field) drift slowly.  The
+        BC masks are static, so the reused entries stay structurally
+        valid.  The driver guards the cadence with the same
+        CG-degradation watchdog as mg_setup_every.
+
+        Returns (state, new_power_vectors) with the SAME pytree structure
+        as `setup` (the compiled CG program accepts either).
+        """
+        assert self.supports_light_setup
+        lp = self.cycle_dtype
+
+        def cast(x):
+            return x if lp is None else x.astype(lp)
+
+        st1 = level_stencil_from_scale(scale, self._Gs[1], 1)
+        mask1 = coarsen_mask(free_mask)
+        headroom = 1.1
+        # level 0: element operator (fused kernel where installed)
+        diag0 = self.ops[0].diagonal(scale, free_mask)
+        lam0, v0 = self._estimate_lambda_max(
+            lambda v: self.ops[0].apply(v, scale, free_mask), free_mask,
+            diag0, power_vectors[0], self.refresh_iters)
+        lam0 = headroom * lam0
+        # level 1: the fresh Galerkin stencil
+        diag1 = stencil_diagonal(st1)
+        lam1, v1 = self._estimate_lambda_max(
+            lambda v: self._masked_stencil_apply(st1, mask1, v), mask1,
+            diag1, power_vectors[1], self.refresh_iters)
+        lam1 = headroom * lam1
+
+        scales = list(prev_state["scales"])
+        scales[0] = cast(scale)
+        diags = list(prev_state["diags"])
+        diags[0], diags[1] = cast(diag0), cast(diag1)
+        lams = list(prev_state["lams"])
+        lams[0], lams[1] = cast(lam0), cast(lam1)
+        omegas = list(prev_state["omegas"])
+        omegas[0] = cast(4.0 / (3.0 * lam0))
+        omegas[1] = cast(4.0 / (3.0 * lam1))
+        stencils = list(prev_state["stencils"])
+        sd = self.stencil_dtype if self.stencil_dtype is not None else lp
+        stencils[1] = st1 if sd is None else st1.astype(sd)
+        state = dict(prev_state, scales=scales, diags=diags, lams=lams,
+                     omegas=omegas, stencils=stencils)
+        new_vecs = (v0, v1) + tuple(power_vectors[2:])
+        return state, new_vecs
+
     # ------------------------------------------------------------------
     def _apply_level(self, lvl, state, v):
         """Cycle-time operator action at `lvl` (stencil or element-based)."""

@@ -181,6 +181,14 @@ class VoxelStep:
     # the preconditioner is stateless or under a device mesh.
     step_precond: Callable | None = None
     step_cg: Callable | None = None
+    # PARTIAL setup program (params.mg_full_setup_every > 1):
+    # step_precond_light(design, pvecs, free_mask, prev_state) ->
+    # (phys, mg_state, new_pvecs) rebuilds only the fine half of the MG
+    # state (level-0 diag/lambda + level-1 Galerkin stencil) and reuses
+    # the deeper levels + coarsest Cholesky from prev_state (see
+    # MultigridPreconditioner.setup_light).  None when the hierarchy is
+    # too shallow / non-Galerkin / stateless.
+    step_precond_light: Callable | None = None
 
     # field order returned by `step`.  The convergence/diagnostic reductions
     # live in the separate `metrics` program: compiling them into the same
@@ -377,6 +385,21 @@ def build_voxel_step(grid, loads, boundary_conditions,
         state, new_pvecs = mg_obj.setup(scale, free_mask, pvecs)
         return phys, state, new_pvecs
 
+    def step_precond_light(design, pvecs, free_mask, prev_state):
+        """Program 1a-LIGHT (params.mg_full_setup_every > 1): filter +
+        PARTIAL preconditioner refresh — fresh level-0 diag/lambda +
+        level-1 Galerkin stencil, deeper levels and the coarsest Cholesky
+        reused from `prev_state` (MultigridPreconditioner.setup_light)."""
+        # cho_factor's static `lower` flag crossed the program boundary
+        # as an array; rebuild the literal (same dance as step_cg)
+        cho, dinv_sqrt = prev_state["cho"]
+        prev_state = dict(prev_state, cho=((cho[0], False), dinv_sqrt))
+        phys = filt.density_filter(design) if use_density_filter else design
+        scale = _precond_scale(phys)
+        state, new_pvecs = mg_obj.setup_light(scale, free_mask, pvecs,
+                                              prev_state)
+        return phys, state, new_pvecs
+
     def step_cg(design, phys, state, u_prev, f_ext, free_mask, recycle=None,
                 rtol=None):
         """Program 1b: the MG-CG solve on a prebuilt preconditioner state
@@ -495,6 +518,9 @@ def build_voxel_step(grid, loads, boundary_conditions,
         step_precond=(step_precond
                       if mg_obj is not None and mesh is None else None),
         step_cg=step_cg if mg_obj is not None and mesh is None else None,
+        step_precond_light=(step_precond_light
+                            if mg_obj is not None and mesh is None
+                            and mg_obj.supports_light_setup else None),
     )
 
 
@@ -575,15 +601,20 @@ def simp_optimize(grid, loads, boundary_conditions,
     # (tests/test_optimize.py::test_step_precond_cg_split_matches_step_solve).
     use_split3 = (vs.step_precond is not None
                   and (jax.default_backend() == "tpu"
-                       or params.mg_setup_every > 1))
+                       or params.mg_setup_every > 1
+                       or params.mg_full_setup_every > 1))
     if use_split3:
         precond_jit = jax.jit(vs.step_precond)
         cg_jit = jax.jit(vs.step_cg)
+        precond_light_jit = (jax.jit(vs.step_precond_light)
+                             if vs.step_precond_light is not None
+                             and params.mg_full_setup_every > 1 else None)
         phys_jit = (jax.jit(vs.filt.density_filter)
                     if vs.use_density_filter else None)
         mg_state = None
         last_setup_it = 0
-        cg_baseline = None        # CG count of the first post-refresh solve
+        last_full_it = 0
+        cg_baseline = None        # CG count of the first post-FULL-setup solve
         cg_since_refresh = None   # CG count of the most recent solve
     metrics_jit = jax.jit(vs.metrics)
     solve_jit = jax.jit(vs.solve)
@@ -749,10 +780,26 @@ def simp_optimize(grid, loads, boundary_conditions,
                                                    cg_baseline + 3))
             if mg_state is None or stale_steps >= params.mg_setup_every \
                     or degraded:
-                phys, mg_state, pvecs = precond_jit(design, pvecs,
-                                                    free_mask_arg)
+                # Partial-refresh cadence (mg_full_setup_every): between
+                # full setups, refresh only the fine half and reuse the
+                # deep levels + coarsest Cholesky; any degradation (or
+                # the cadence expiring) forces a FULL rebuild.  The
+                # watchdog baseline is pinned to the last FULL setup —
+                # a light refresh changes M too, but against the stale
+                # deep levels, which is exactly the drift to watch.
+                use_light = (precond_light_jit is not None
+                             and mg_state is not None and not degraded
+                             and (it - last_full_it)
+                             < params.mg_full_setup_every)
+                if use_light:
+                    phys, mg_state, pvecs = precond_light_jit(
+                        design, pvecs, free_mask_arg, mg_state)
+                else:
+                    phys, mg_state, pvecs = precond_jit(design, pvecs,
+                                                        free_mask_arg)
+                    last_full_it = it
+                    cg_baseline = None
                 last_setup_it = it
-                cg_baseline = None
             else:
                 phys = phys_jit(design) if phys_jit is not None else design
             if it == start_iteration:

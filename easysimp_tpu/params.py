@@ -163,6 +163,20 @@ class OptimizationParameters:
                                         # pins trajectory agreement).  Takes
                                         # effect on the split-program path
                                         # (multigrid + single device)
+    mg_full_setup_every: int = 1        # PARTIAL setup cadence: between full
+                                        # setups, refresh only the fine half
+                                        # (level-0 diag/lambda + the level-1
+                                        # Galerkin stencil) and reuse deeper
+                                        # stencils + the coarsest Cholesky
+                                        # (ops/multigrid.py setup_light).
+                                        # Unlike mg_setup_every (which lets
+                                        # the FINE smoother go stale against
+                                        # the fresh CG operator — measured
+                                        # catastrophic), only the coarse
+                                        # CORRECTION staleness is traded,
+                                        # guarded by the same CG-degradation
+                                        # watchdog.  1 = always full.  Takes
+                                        # effect on the split-program path
     mg_cycle: str = "v"                 # "v" | "w".  Default V + the (1, 3)
                                         # per-level smoothing: a 50-iteration
                                         # 48x24x24 trajectory measured total

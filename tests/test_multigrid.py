@@ -335,3 +335,63 @@ class TestPowerInitSplit:
         for a, b in zip(one, split):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-12, atol=1e-14)
+
+
+def test_setup_light_reuses_deep_and_refreshes_fine(monkeypatch):
+    """setup_light (params.mg_full_setup_every): level-0/1 data must equal
+    a full warm setup's on the NEW design; deeper stencils and the
+    coarsest Cholesky must be the previous state's, and the output pytree
+    structure must match `setup`'s (one compiled CG program serves both)."""
+    import jax
+
+    from easysimp_tpu.ops.operator import VoxelOperator
+    from easysimp_tpu.ops.stencil import level_stencil_from_scale
+
+    monkeypatch.setenv("EASYSIMP_MAX_COARSE_DOFS", "500")
+    grid = et.generate_grid((16, 8, 8), (0.0, 0.0, 0.0), (16.0, 8.0, 8.0))
+    op = VoxelOperator(grid, E0=100.0, Emin=1e-6, nu=0.3, p=3.0,
+                       dtype=jnp.float64)
+    mg = MultigridPreconditioner(op, smooth_iters=(1, 2))
+    assert mg.n_levels >= 3 and mg.supports_light_setup
+
+    rng = np.random.default_rng(3)
+    dA = jnp.asarray(rng.uniform(0.2, 1.0, grid.nels), jnp.float64)
+    dB = jnp.clip(dA + jnp.asarray(
+        rng.uniform(-0.2, 0.2, grid.nels), jnp.float64), 0.05, 1.0)
+    mask = jnp.ones((*grid.nnodes_per_axis, 3), jnp.float64)
+    mask = mask.at[0].set(0.0)
+    scaleA = op.youngs_modulus(dA)
+    scaleB = op.youngs_modulus(dB)
+
+    pv0 = mg.power_init(scaleA, mask)
+    stateA, vecsA = jax.jit(mg.setup)(scaleA, mask, pv0)
+    stateL, vecsL = jax.jit(mg.setup_light)(scaleB, mask, vecsA, stateA)
+    stateF, vecsF = jax.jit(mg.setup)(scaleB, mask, vecsA)  # full, warm
+
+    # identical pytree structure (the compiled CG program accepts either)
+    assert jax.tree.structure(stateL) == jax.tree.structure(stateF)
+
+    # fine half refreshed exactly like the full warm setup
+    for key in ("diags", "lams", "omegas"):
+        for lvl in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(stateL[key][lvl]), np.asarray(stateF[key][lvl]),
+                rtol=1e-12, err_msg=f"{key}[{lvl}]")
+    np.testing.assert_allclose(
+        np.asarray(stateL["stencils"][1]),
+        np.asarray(level_stencil_from_scale(scaleB, mg._Gs[1], 1)),
+        rtol=1e-12)
+    for lvl in (0, 1):
+        np.testing.assert_allclose(np.asarray(vecsL[lvl]),
+                                   np.asarray(vecsF[lvl]), rtol=1e-12)
+
+    # deep levels + coarsest factor reused from the PREVIOUS state
+    for lvl in range(2, mg.n_levels):
+        np.testing.assert_array_equal(np.asarray(stateL["stencils"][lvl]),
+                                      np.asarray(stateA["stencils"][lvl]))
+        np.testing.assert_array_equal(np.asarray(stateL["lams"][lvl]),
+                                      np.asarray(stateA["lams"][lvl]))
+        np.testing.assert_array_equal(np.asarray(vecsL[lvl]),
+                                      np.asarray(vecsA[lvl]))
+    np.testing.assert_array_equal(np.asarray(stateL["cho"][0][0]),
+                                  np.asarray(stateA["cho"][0][0]))

@@ -418,3 +418,28 @@ def test_step_precond_cg_split_matches_step_solve():
                                    rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_mg_full_setup_every_light_refresh_matches(monkeypatch):
+    """Partial setup (mg_full_setup_every=3): between full setups only the
+    fine half (level-0 diag/lambda + level-1 Galerkin stencil) refreshes
+    while deep levels + the coarsest Cholesky are reused.  With a tight
+    cg_rtol the preconditioner difference cannot move the solves, so the
+    trajectory must match the full-refresh run to solver tolerance."""
+    monkeypatch.setenv("EASYSIMP_MAX_COARSE_DOFS", "500")
+    grid, bc, load, params = build_cantilever((16, 8, 8), max_iter=7)
+
+    def run(full_every):
+        p = et.OptimizationParameters(
+            **{**params.__dict__, "preconditioner": "multigrid",
+               "cg_rtol": 1e-12, "cg_recycle_k": 3,
+               "mg_full_setup_every": full_every})
+        return et.simp_optimize(grid, [load], [bc], p)
+
+    res1 = run(1)
+    res3 = run(3)   # forces use_split3 + the light program on CPU
+    np.testing.assert_allclose(res3.energy_history, res1.energy_history,
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res3.densities),
+                               np.asarray(res1.densities),
+                               rtol=1e-7, atol=1e-9)
