@@ -582,8 +582,12 @@ class _Stepper:
                            and getattr(vs, "step_precond", None) is not None)
         # Partial-refresh cadence (BENCH_FULL_SETUP_EVERY, mirrors
         # params.mg_full_setup_every): full MG setup every k iterations,
-        # fine-half-only refresh in between (setup_light).
-        self.full_every = int(os.environ.get("BENCH_FULL_SETUP_EVERY", "1"))
+        # fine-half-only refresh in between (setup_light).  Default 4 is
+        # the measured-best production cadence (PHASES_r05: late window
+        # 5.95 -> 7.06 it/s at 128^3, CG unchanged at 2, energies equal to
+        # ~3e-6 rel.); the CG-degradation watchdog forces a full setup
+        # whenever the reused deep levels go stale.
+        self.full_every = int(os.environ.get("BENCH_FULL_SETUP_EVERY", "4"))
         if self.use_split3:
             self.pre_part = jax.jit(vs.step_precond)
             self.cg_part = jax.jit(vs.step_cg)
@@ -648,6 +652,21 @@ class _Stepper:
         else:
             self.pvecs = jax.jit(vs.power_init)(self.design, vs.step_args[1])
         jax.block_until_ready(self.pvecs)  # drain before the next program
+
+    def warm_light(self):
+        """Compile+execute the light-setup program once, DISCARDING the
+        outputs: its first call otherwise lands inside the timed early
+        window (measured 164 s cold through the tunnel — it depressed the
+        early reading to 0.58 it/s when timed).  No trajectory effect:
+        the results are dropped, the next light call recomputes them."""
+        import jax
+
+        if self.pre_light is None or self.mg_state is None:
+            return
+        _, free_mask, _ = self.vs.step_args
+        out = self.pre_light(self.design, self.pvecs, free_mask,
+                             self.mg_state)
+        jax.block_until_ready(out)
 
     def reset_recycle(self):
         """Re-seed the recycle ring from the current warm start (used after
@@ -910,6 +929,11 @@ def run_measurement():
         log("FIRST STEP PRODUCED NON-FINITE ENERGY — failing this attempt")
         sys.exit(3)
     compile_s = round(time.time() - t_fine, 1)
+    if st.full_every > 1:
+        t_wl = time.time()
+        st.warm_light()
+        if time.time() - t_wl > 1.0:
+            log(f"precond_light warm compile: {time.time() - t_wl:.1f}s")
     save()
 
     late_start = int(os.environ.get("BENCH_LATE_START", "50"))
