@@ -802,6 +802,18 @@ def _continuation_init(nels, dtype, *, recycle_k, adaptive, setup_every,
     # prolonged u is a warm start only, CG corrects the magnitude.
     rtol_f = st.rtol_now
     jax.block_until_ready(design_f)
+    # Free the coarse stage's device state NOW: the stepper's jitted
+    # closures and the step object form reference cycles, so its recycle
+    # ring + MG stencils (~0.7 GB at a 128^3 prelude) otherwise stay live
+    # on the device until a cyclic GC happens to run — at 256^3 the fine
+    # problem needs that HBM (observed RESOURCE_EXHAUSTED in the fine
+    # cold_power right after the prelude).
+    import gc
+
+    st.rhist = st.mg_state = st.pvecs = None
+    st.design = st.u = None
+    del st, vs_c
+    gc.collect()
     return design_f, u_f, rtol_f, time.time() - t0, float(energy)
 
 

@@ -38,6 +38,7 @@ from .stencil import (
     compose_level_weights,
     fold_bc_into_stencil,
     level1_weights,
+    level_stencil_diag_from_scale,
     level_stencil_from_scale,
     stencil_diagonal,
     stencil_row_abs_sums,
@@ -352,15 +353,47 @@ class MultigridPreconditioner:
         per level at apply time — both SPD preconditioners; measured
         equal-to-better CG on the 48^3 trajectory study."""
         stencils = [None] * self.n_levels
+        fp_diags = [None] * self.n_levels
         if not self.galerkin or self.n_levels < 2:
-            return stencils
+            return stencils, fp_diags
+        # Narrow-storage hierarchies (stencil_dtype set) emit the storage
+        # dtype DIRECTLY from the builds, x-chunked at level 1, so the
+        # full-precision coefficient tensor never materializes — the fp32
+        # level-1 transient alone (2.1 GB at 256^3) RESOURCE_EXHAUSTs the
+        # tunnel TPU's usable HBM inside the one-program setup.  Deeper
+        # RAP recursion upcasts per level (tiny tensors) to keep the
+        # triple product itself at full precision.  The operator DIAGONAL
+        # stays full-precision throughout (fp_diags): bf16-rounding the
+        # Chebyshev diagonal scaling measured CG 71 vs 45 on the 16x8x4
+        # contrast study, while bf16 243-coefficient STORAGE alone is the
+        # measured-cheap knob.
+        sd = self.stencil_dtype
         for lvl in range(1, self.n_levels):
+            # The COARSEST level stays full-precision regardless: its
+            # stencil feeds the dense Cholesky, and factorizing the
+            # bf16-ROUNDED operator costs real CG (measured 71 vs 45 on
+            # the 16x8x4 contrast study).  It is also the one tiny level
+            # where narrow storage saves nothing.
+            sd_l = sd if lvl < self.n_levels - 1 else None
             if lvl in self._Gs:
+                n_coarse = (scale.shape[0] >> lvl) + 1
+                chunks = 8 if (sd_l is not None and lvl == 1
+                               and scale.size >= 8 * 1024 ** 2) else 1
                 stencils[lvl] = level_stencil_from_scale(
-                    scale, self._Gs[lvl], lvl)
+                    scale, self._Gs[lvl], lvl, out_dtype=sd_l,
+                    x_chunks=min(chunks, n_coarse))
+                if sd_l is not None:
+                    fp_diags[lvl] = level_stencil_diag_from_scale(
+                        scale, self._Gs[lvl], lvl)
             else:
-                stencils[lvl] = coarsen_stencil(stencils[lvl - 1])
-        return stencils
+                prev = stencils[lvl - 1]
+                if prev.dtype != scale.dtype:
+                    prev = prev.astype(scale.dtype)
+                st = coarsen_stencil(prev)
+                if sd_l is not None:
+                    fp_diags[lvl] = stencil_diagonal(st)
+                stencils[lvl] = st if sd_l is None else st.astype(sd_l)
+        return stencils, fp_diags
 
     @staticmethod
     def _masked_stencil_apply(stencil, mask, v):
@@ -385,10 +418,11 @@ class MultigridPreconditioner:
         vectors for the drivers to carry through the SIMP iterations.  Run
         ONCE before the loop (one small jitted program)."""
         scales, masks = self._coarsen_fields(scale, free_mask)
-        stencils = self._build_stencils(scale, masks)
+        stencils, fp_diags = self._build_stencils(scale, masks)
         vecs = []
         for lvl in range(self.n_levels):
-            diag = self._level_diag(lvl, scales, masks, stencils)
+            diag = (fp_diags[lvl] if fp_diags[lvl] is not None
+                    else self._level_diag(lvl, scales, masks, stencils))
             _, v = self._estimate_lambda_max(
                 self._level_apply(lvl, scales, masks, stencils), masks[lvl],
                 diag, self._hash_vector(lvl), self.power_iters)
@@ -404,15 +438,16 @@ class MultigridPreconditioner:
         error" on first execution — round-2/3 flake data: 5-level one-shot
         0/3, small per-kernel programs 8/8).  The drivers use this."""
         prep = jax.jit(lambda s, m: self._prep_levels(s, m))
-        scales, masks, stencils = prep(scale, free_mask)
+        scales, masks, stencils, fp_diags = prep(scale, free_mask)
         jax.block_until_ready(masks)
         vecs = []
         for lvl in range(self.n_levels):
             if stencils[lvl] is not None:
                 fn = jax.jit(
-                    lambda st, m, v, lvl=lvl: self._power_one_stencil(
-                        lvl, st, m, v))
-                v = fn(stencils[lvl], masks[lvl], self._hash_vector(lvl))
+                    lambda st, m, v, d, lvl=lvl: self._power_one_stencil(
+                        lvl, st, m, v, d))
+                v = fn(stencils[lvl], masks[lvl], self._hash_vector(lvl),
+                       fp_diags[lvl])
             else:
                 fn = jax.jit(
                     lambda s, m, v, lvl=lvl: self._power_one_op(lvl, s, m, v))
@@ -423,8 +458,8 @@ class MultigridPreconditioner:
 
     def _prep_levels(self, scale, free_mask):
         scales, masks = self._coarsen_fields(scale, free_mask)
-        stencils = self._build_stencils(scale, masks)
-        return scales, masks, stencils
+        stencils, fp_diags = self._build_stencils(scale, masks)
+        return scales, masks, stencils, fp_diags
 
     def _power_one_op(self, lvl, scale_l, mask_l, v0):
         diag = self.ops[lvl].diagonal(scale_l, mask_l)
@@ -434,8 +469,8 @@ class MultigridPreconditioner:
             self.power_iters)
         return v
 
-    def _power_one_stencil(self, lvl, stencil_l, mask_l, v0):
-        diag = stencil_diagonal(stencil_l)
+    def _power_one_stencil(self, lvl, stencil_l, mask_l, v0, fp_diag=None):
+        diag = fp_diag if fp_diag is not None else stencil_diagonal(stencil_l)
         _, v = self._estimate_lambda_max(
             lambda w: self._masked_stencil_apply(stencil_l, mask_l, w),
             mask_l, diag, v0, self.power_iters)
@@ -463,10 +498,11 @@ class MultigridPreconditioner:
         iters = self.power_iters if cold else self.refresh_iters
         headroom = 1.05 if cold else 1.1
         scales, masks = self._coarsen_fields(scale, free_mask)
-        stencils = self._build_stencils(scale, masks)
+        stencils, fp_diags = self._build_stencils(scale, masks)
         diags, omegas, lams, new_vecs = [], [], [], []
         for lvl in range(self.n_levels):
-            diag = self._level_diag(lvl, scales, masks, stencils)
+            diag = (fp_diags[lvl] if fp_diags[lvl] is not None
+                    else self._level_diag(lvl, scales, masks, stencils))
             diags.append(diag)
             apply_fn = self._level_apply(lvl, scales, masks, stencils)
             if self.power_iters > 0:
@@ -495,7 +531,13 @@ class MultigridPreconditioner:
             # Galerkin coarsest: fold BCs HERE (the one tiny level where the
             # dense factorization needs the identity rows), then densify;
             # vectors flatten in natural C order (stencil_to_dense layout).
-            folded = fold_bc_into_stencil(stencils[-1], masks[-1])
+            # Narrow-storage hierarchies upcast first: a bfloat16 dense
+            # Cholesky is exactly the fp32-on-TPU NaN class the
+            # diagonally-scaled factorization exists to prevent.
+            coarsest = stencils[-1]
+            if coarsest.dtype != scale.dtype:
+                coarsest = coarsest.astype(scale.dtype)
+            folded = fold_bc_into_stencil(coarsest, masks[-1])
             cho = self._scaled_cholesky(stencil_to_dense(folded))
             mask_flat = None
         else:
@@ -557,7 +599,13 @@ class MultigridPreconditioner:
         def cast(x):
             return x if lp is None else x.astype(lp)
 
-        st1 = level_stencil_from_scale(scale, self._Gs[1], 1)
+        sd_build = self.stencil_dtype
+        st1 = level_stencil_from_scale(
+            scale, self._Gs[1], 1, out_dtype=sd_build,
+            x_chunks=8 if (sd_build is not None
+                           and scale.size >= 8 * 1024 ** 2) else 1)
+        fp_diag1 = (level_stencil_diag_from_scale(scale, self._Gs[1], 1)
+                    if sd_build is not None else None)
         mask1 = coarsen_mask(free_mask)
         headroom = 1.1
         # level 0: element operator (fused kernel where installed)
@@ -566,8 +614,9 @@ class MultigridPreconditioner:
             lambda v: self.ops[0].apply(v, scale, free_mask), free_mask,
             diag0, power_vectors[0], self.refresh_iters)
         lam0 = headroom * lam0
-        # level 1: the fresh Galerkin stencil
-        diag1 = stencil_diagonal(st1)
+        # level 1: the fresh Galerkin stencil (full-precision diagonal on
+        # narrow-storage hierarchies — see _build_stencils)
+        diag1 = fp_diag1 if fp_diag1 is not None else stencil_diagonal(st1)
         lam1, v1 = self._estimate_lambda_max(
             lambda v: self._masked_stencil_apply(st1, mask1, v), mask1,
             diag1, power_vectors[1], self.refresh_iters)

@@ -319,7 +319,8 @@ def compose_level_weights(G, k):
     return G
 
 
-def level_stencil_from_scale(scale, G, level, precision=lax.Precision.HIGHEST):
+def level_stencil_from_scale(scale, G, level, precision=lax.Precision.HIGHEST,
+                             out_dtype=None, x_chunks=1):
     """Direct fine element moduli (nx, ny, nz) -> level-`level` Galerkin
     stencil (3, 3, 3, 3, 3, ncx+1, ncy+1, ncz+1), one stride-2^level
     kernel-(2^{level+1})^3 im2col + ONE MXU matmul.
@@ -329,7 +330,15 @@ def level_stencil_from_scale(scale, G, level, precision=lax.Precision.HIGHEST):
     graph): pad by 2^level per side, reshape each axis into (n_coarse+1,
     stride) groups, and concatenate the group with its successor to form
     the kernel windows.  G is level1_weights composed (level-1) times
-    through compose_level_weights."""
+    through compose_level_weights.
+
+    out_dtype / x_chunks bound the HBM transient for narrow-storage
+    hierarchies (params.mg_stencil_dtype): the matmul still runs at the
+    scale dtype and `precision` (identical values), but each of x_chunks
+    x-slabs is cast to out_dtype as it is produced, so the full-size
+    fp32 coefficient tensor (2.1 GB at 256^3 level 1) never materializes
+    — only one fp32 slab plus the narrow result.  Defaults reproduce the
+    single full-precision matmul bit-for-bit."""
     stride = 1 << level
     K = 2 * stride
     nx, ny, nz = scale.shape
@@ -343,11 +352,24 @@ def level_stencil_from_scale(scale, G, level, precision=lax.Precision.HIGHEST):
     X = jnp.concatenate([X[:-1], X[1:]], axis=1)          # (ncnx, K, ...)
     X = jnp.concatenate([X[:, :, :-1], X[:, :, 1:]], axis=3)
     X = jnp.concatenate([X[:, :, :, :, :-1], X[:, :, :, :, 1:]], axis=5)
-    S = jnp.transpose(X, (1, 3, 5, 0, 2, 4)).reshape(K ** 3, -1)
     Gm = jnp.asarray(
         G.transpose(0, 1, 2, 6, 7, 3, 4, 5).reshape(27 * 9, K ** 3),
         dtype=dt)
-    out = jnp.dot(Gm, S, precision=precision)             # (243, n_nodes)
+    if x_chunks <= 1:
+        S = jnp.transpose(X, (1, 3, 5, 0, 2, 4)).reshape(K ** 3, -1)
+        out = jnp.dot(Gm, S, precision=precision)         # (243, n_nodes)
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
+        return out.reshape(3, 3, 3, 3, 3, *ncn)
+    S3 = jnp.transpose(X, (1, 3, 5, 0, 2, 4)).reshape(
+        K ** 3, ncn[0], ncn[1] * ncn[2])
+    slab = -(-ncn[0] // x_chunks)
+    outs = []
+    for s in range(0, ncn[0], slab):
+        o = jnp.dot(Gm, S3[:, s:s + slab].reshape(K ** 3, -1),
+                    precision=precision)
+        outs.append(o if out_dtype is None else o.astype(out_dtype))
+    out = jnp.concatenate(outs, axis=1)
     return out.reshape(3, 3, 3, 3, 3, *ncn)
 
 
@@ -387,6 +409,37 @@ def level1_stencil_from_scale(scale, G, precision=lax.Precision.HIGHEST):
         dtype=dt)
     out = jnp.dot(Gm, S, precision=precision)          # (243, n_nodes)
     return out.reshape(3, 3, 3, 3, 3, ncnx, ncny, ncnz)
+
+
+def level_stencil_diag_from_scale(scale, G, level,
+                                  precision=lax.Precision.HIGHEST):
+    """Exact FULL-PRECISION operator diagonal of the level-`level` Galerkin
+    stencil as a node field (ncnx, ncny, ncnz, 3), without materializing
+    the full coefficient tensor: the diagonal is the three (O=(1,1,1),
+    i==i) rows of the same im2col matmul `level_stencil_from_scale` runs,
+    so this is a (3, K^3) @ (K^3, n_nodes) mini-matmul whose im2col
+    operand XLA CSEs with the main build's.  Used by narrow-storage
+    hierarchies (params.mg_stencil_dtype): the SMOOTHER data (Chebyshev
+    diagonal scaling, lambda estimation) keeps full precision while the
+    243-coefficient storage is bfloat16 — measured CG 71 vs 45 at 16x8x4
+    contrast when the diagonal was bf16-rounded too."""
+    stride = 1 << level
+    K = 2 * stride
+    nx, ny, nz = scale.shape
+    dt = scale.dtype
+    ncn = (nx // stride + 1, ny // stride + 1, nz // stride + 1)
+    sp = jnp.pad(scale, stride)
+    X = sp.reshape(ncn[0] + 1, stride, ncn[1] + 1, stride, ncn[2] + 1, stride)
+    X = jnp.concatenate([X[:-1], X[1:]], axis=1)
+    X = jnp.concatenate([X[:, :, :-1], X[:, :, 1:]], axis=3)
+    X = jnp.concatenate([X[:, :, :, :, :-1], X[:, :, :, :, 1:]], axis=5)
+    S = jnp.transpose(X, (1, 3, 5, 0, 2, 4)).reshape(K ** 3, -1)
+    Gm = jnp.asarray(
+        G.transpose(0, 1, 2, 6, 7, 3, 4, 5).reshape(27 * 9, K ** 3),
+        dtype=dt)
+    rows = [((1 * 3 + 1) * 3 + 1) * 9 + i * 3 + i for i in range(3)]
+    out = jnp.dot(Gm[jnp.asarray(rows)], S, precision=precision)  # (3, N)
+    return jnp.moveaxis(out.reshape(3, *ncn), 0, -1)
 
 
 def stencil_to_dense(C):
