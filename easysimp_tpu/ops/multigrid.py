@@ -320,14 +320,33 @@ class MultigridPreconditioner:
         """Power iteration on D^{-1} A (same spectrum as the symmetrized
         operator), warm-started from v.  The estimate feeds a fixed per-setup
         omega, so the resulting smoother — and hence M — stays LINEAR in the
-        residual.  Returns (lam, final_normalized_vector)."""
+        residual.  Returns (lam, final_normalized_vector).
+
+        The body runs under `lax.fori_loop`, NOT a Python unroll.  This is
+        a TPU-correctness requirement, not style: on narrow-storage
+        hierarchies (mg_stencil_dtype=bfloat16) the plainly-unrolled
+        8-10-iteration chain over the level-1/2 stencil apply deterministically
+        MISCOMPILES on the tunnel TPU — iterations 0-7 produce finite fields
+        and iterations 8-9 come back all-NaN from a finite input, while the
+        same unroll with extra per-iteration reductions, and the fori_loop
+        form, are both healthy (round-5 probes; the trigger is XLA's fusion
+        choice across the tail of the unrolled chain, not the math).  The
+        while-loop HLO also compiles the body once, which matters through
+        the tunnel's minutes-per-program remote_compile."""
         tiny = jnp.finfo(self.dtype).tiny
         v = v * mask
-        lam = jnp.asarray(1.0, self.dtype)
-        for _ in range(iters):
+        lam0 = jnp.asarray(1.0, self.dtype)
+        if iters <= 0:
+            return lam0, v
+
+        def body(_, carry):
+            v, _lam = carry
             w = apply_fn(v) / diag
             lam = jnp.sqrt(jnp.vdot(w, w) / jnp.maximum(jnp.vdot(v, v), tiny))
             v = w / jnp.maximum(jnp.sqrt(jnp.vdot(w, w)), tiny)
+            return (v, lam)
+
+        v, lam = jax.lax.fori_loop(0, iters, body, (v, lam0))
         return lam, v
 
     def _coarsen_fields(self, scale, free_mask):
@@ -401,7 +420,21 @@ class MultigridPreconditioner:
         BC-folded stencil's action on masked inputs (the only inputs the
         cycle produces); the two mask passes cost ~3 MB of node-field
         traffic vs the 267 MB coefficient re-stream a per-iteration fold
-        would take."""
+        would take.
+
+        Mixed-dtype inputs (narrow-storage stencil, full-precision field —
+        the SETUP-side power estimation on mg_stencil_dtype hierarchies)
+        run the apply ENTIRELY in the stencil's dtype and upcast the
+        result: the storage dtype defines the operator's precision, and
+        the all-narrow form avoids XLA promoting the 243-coefficient
+        tensor to fp32 inside the apply (which would double the dominant
+        coefficient stream — 267 MB at 128^3 level 1).  It is also the
+        exact composition the production bf16 cycle runs, proven on TPU.
+        (The round-5 narrow-setup NaN was a separate unroll-depth
+        miscompile — see _estimate_lambda_max.)"""
+        if stencil.dtype != v.dtype:
+            mv = (mask * v).astype(stencil.dtype)
+            return mask * apply_stencil(stencil, mv).astype(v.dtype)
         return mask * apply_stencil(stencil, mask * v)
 
     def _level_apply(self, lvl, scales, masks, stencils):
